@@ -1,0 +1,123 @@
+"""Container (RIFF/WAVE and IFF/AIFF) chunk model.
+
+Host-side equivalent of the reference's c_lib ``AudioFile`` (interface
+reconstructed in SURVEY.md §2.2 from /root/reference/ProcessFile.cp:34,105-112):
+a parser/writer that exposes the container as an *ordered list of raw
+chunks* so that every non-audio chunk can be copied to the output verbatim
+("Metadata Preservation", /root/reference/README.md:9).
+
+WAVE is a RIFF form (little-endian sizes); AIFF/AIFC is an EA-IFF-85 FORM
+(big-endian sizes). In both, chunks are ``<4-byte id><u32 size><payload>``
+padded to even length; the pad byte is not counted in ``size``. We preserve
+odd-sized chunks and their pad bytes byte-exactly on round-trip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+
+from ..utils.errors import AudioFormatError
+
+WAVE = "wave"
+AIFF = "aiff"
+
+# File kind <-> (container magic, form type candidates, endianness)
+_KIND_INFO = {
+    WAVE: (b"RIFF", (b"WAVE",), "<"),
+    AIFF: (b"FORM", (b"AIFF", b"AIFC"), ">"),
+}
+
+
+@dataclasses.dataclass
+class Chunk:
+    """One raw container chunk: 4-byte id + payload (without pad byte)."""
+
+    ckid: bytes
+    data: bytes
+
+    def __post_init__(self):
+        if len(self.ckid) != 4:
+            raise AudioFormatError(f"Chunk id must be 4 bytes, got {self.ckid!r}")
+
+    @property
+    def size(self) -> int:
+        return len(self.data)
+
+
+@dataclasses.dataclass
+class Container:
+    """Parsed container: kind ('wave' | 'aiff'), form type, ordered chunks."""
+
+    kind: str
+    form_type: bytes  # b"WAVE", b"AIFF", or b"AIFC"
+    chunks: list[Chunk]
+
+    @property
+    def endian(self) -> str:
+        return _KIND_INFO[self.kind][2]
+
+    def find(self, ckid: bytes) -> Chunk | None:
+        for c in self.chunks:
+            if c.ckid == ckid:
+                return c
+        return None
+
+    def find_index(self, ckid: bytes) -> int:
+        for i, c in enumerate(self.chunks):
+            if c.ckid == ckid:
+                return i
+        raise AudioFormatError(f"Required chunk {ckid!r} not found")
+
+
+def parse_container(raw: bytes) -> Container:
+    """Parse a WAVE or AIFF file image into an ordered chunk list."""
+    if len(raw) < 12:
+        raise AudioFormatError("File too small to be a WAVE or AIFF file")
+    magic = raw[0:4]
+    if magic == b"RIFF":
+        kind = WAVE
+    elif magic == b"FORM":
+        kind = AIFF
+    else:
+        raise AudioFormatError(
+            f"Not a WAVE or AIFF file (container magic {magic!r})"
+        )
+    _, form_types, endian = _KIND_INFO[kind]
+    form_type = raw[8:12]
+    if form_type not in form_types:
+        raise AudioFormatError(
+            f"Unsupported form type {form_type!r} for {kind.upper()} container"
+        )
+
+    chunks: list[Chunk] = []
+    pos = 12
+    end = len(raw)
+    # Be lenient about the outer RIFF/FORM size (files in the wild often get
+    # it wrong); walk chunks to EOF instead.
+    while pos + 8 <= end:
+        ckid = raw[pos : pos + 4]
+        (size,) = struct.unpack(endian + "I", raw[pos + 4 : pos + 8])
+        payload_start = pos + 8
+        payload_end = payload_start + size
+        if payload_end > end:
+            # Truncated final chunk: clamp (matches common tolerant readers).
+            payload_end = end
+        chunks.append(Chunk(ckid, raw[payload_start:payload_end]))
+        pos = payload_end + (size & 1)  # skip pad byte after odd-sized chunk
+    return Container(kind=kind, form_type=form_type, chunks=chunks)
+
+
+def serialize_container(container: Container) -> bytes:
+    """Serialize back to bytes, preserving chunk order and pad bytes."""
+    endian = container.endian
+    body = bytearray()
+    for c in container.chunks:
+        body += c.ckid
+        body += struct.pack(endian + "I", len(c.data))
+        body += c.data
+        if len(c.data) & 1:
+            body += b"\x00"
+    magic = _KIND_INFO[container.kind][0]
+    total = len(body) + 4  # form type counts toward the outer size
+    return magic + struct.pack(endian + "I", total) + container.form_type + bytes(body)

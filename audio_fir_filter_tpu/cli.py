@@ -1,0 +1,197 @@
+"""``lowcut`` command-line interface.
+
+Replicates the argument surface and scenario/validation matrix of the
+reference binary (/root/reference/main.cp) — same flags, same defaults,
+same exit codes — plus TPU-native extensions (precision/block-size/mesh,
+JSON metrics).
+
+Scenarios (main.cp:26-31, HELP_TEXT):
+  lowcut [options] <input_file> <output_file>
+  lowcut [options] <input_file1> [input_file2 ...] <output_directory>
+
+Validation matrix preserved exactly (SURVEY.md §2.4):
+- 2 paths: input must exist (FileNotFound); output must not be a directory
+  (UsageError); extensions must match (UsageError); existing output without
+  -O aborts (FileExists); with -O it is removed first (main.cp:84-107).
+- >2 paths: last is the destination dir; created if missing, but a missing
+  destination *with an extension* is an error (main.cp:114-130); outputs
+  keep the input filename; per-file overwrite rules as above; an error
+  aborts the remaining batch (files already written stay written).
+- Exit codes: 0 for --help (StopNoError), 1 for any error (main.cp:150-166).
+
+Deliberate fix (SURVEY.md §2.4): status lines like "Using N threads." print
+iff --verbose; the reference inverts this in main.cp:69-72 (bug).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+from .utils.errors import DiskerrorError, FileExists, FileNotFound, StopNoError, UsageError
+from .utils.options import FilterOptions
+
+HELP_TEXT = """\
+Applies low-cut (high-pass) FIR filter to WAVE or AIFF file.
+Usage:
+  lowcut [options] <input_file> <output_file>
+  lowcut [options] <input_file1> [input_file2 ...] <output_directory>
+"""
+
+
+class _Parser(argparse.ArgumentParser):
+    """argparse that raises UsageError (exit 1) instead of exiting with 2."""
+
+    def error(self, message):
+        raise UsageError(message)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = _Parser(
+        prog="lowcut",
+        description=HELP_TEXT,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    # Reference-compatible options (main.cp:43-59).
+    p.add_argument("-f", "--frequency", type=float, default=15.0, metavar="Hz",
+                   help="Filter cutoff frequency in Hz. (default: 15)")
+    p.add_argument("-s", "--slope", type=float, default=10.0, metavar="Hz",
+                   help="Filter slope width in Hz. (default: 10)")
+    p.add_argument("-n", "--normalize", action="store_true",
+                   help="Normalize output to maximum level.")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="Verbose output.")
+    p.add_argument("-t", "--threads", type=int, default=0, metavar="N",
+                   help="Number of host worker threads "
+                        "(default is 2/3 of the processors available).")
+    p.add_argument("-O", "--overwrite", action="store_true",
+                   help="Overwrite existing files.")
+    # TPU-native extensions.
+    p.add_argument("--precision", choices=["high", "fast"], default="high",
+                   help="Convolution precision: 'high' = double-float FFT "
+                        "(matches float64 reference within 1 LSB @ 24-bit), "
+                        "'fast' = float32 FFT. (default: high)")
+    p.add_argument("--block-size", type=int, default=0, metavar="B",
+                   help="Overlap-save FFT size (power of two; 0 = auto).")
+    p.add_argument("--json-metrics", action="store_true",
+                   help="Print per-stage timing metrics as JSON to stderr.")
+    p.add_argument("paths", nargs="*", help=argparse.SUPPRESS)
+    return p
+
+
+def _options_from_args(args) -> FilterOptions:
+    return FilterOptions(
+        freq=args.frequency,
+        slope=args.slope,
+        normalize=args.normalize,
+        verbose=args.verbose,
+        num_threads=args.threads,
+        precision=args.precision,
+        block_size=args.block_size,
+        json_metrics=args.json_metrics,
+    )
+
+
+def _emit_metrics(metrics: dict, path, args) -> None:
+    if args.json_metrics:
+        import json
+
+        payload = {"file": str(path), **{k: v for k, v in metrics.items()}}
+        fr, fs = metrics.get("frames", 0), metrics.get("filter", 0.0)
+        if fs > 0:
+            payload["samples_per_sec"] = fr * metrics.get("channels", 1) / fs
+        print(json.dumps(payload), file=sys.stderr)
+
+
+def run(argv=None) -> None:
+    """Scenario logic (raises typed exceptions; `main` maps to exit codes)."""
+    args = build_parser().parse_args(argv)
+    opts = _options_from_args(args)
+
+    def show_status(msg: str) -> None:
+        if opts.verbose:
+            print(msg)
+
+    show_status(f"Using {opts.resolved_num_threads()} threads.")
+
+    # Import the pipeline lazily: --help and usage errors must not pay (or
+    # require) JAX/TPU initialization.
+    from .pipeline import process_file
+
+    paths = [Path(s) for s in args.paths]
+
+    if len(paths) == 2:
+        # Scenario 1: input file -> output file (main.cp:84-109)
+        input_path, output_path = paths
+        if not input_path.is_file():
+            raise FileNotFound(str(input_path))
+        if output_path.exists() and output_path.is_dir():
+            raise UsageError(
+                "With two parameters the second parameter must be a file path, "
+                "not a directory.")
+        if input_path.suffix != output_path.suffix:
+            raise UsageError(
+                "Input and output file types (WAVE or AIFF) must be the same "
+                "(extensions must match).")
+        if output_path.exists() and not args.overwrite:
+            raise FileExists(str(output_path))
+        if output_path.exists():
+            os.remove(output_path)
+        metrics = process_file(input_path, output_path, opts)
+        _emit_metrics(metrics, output_path, args)
+
+    elif len(paths) > 2:
+        # Scenario 2: input files -> output directory (main.cp:112-147)
+        dest_dir = paths[-1]
+        if dest_dir.exists():
+            if not dest_dir.is_dir():
+                raise UsageError(
+                    f"Destination exists but is not a directory: {dest_dir}")
+        else:
+            if dest_dir.suffix:
+                raise UsageError(
+                    f"Destination directory '{dest_dir}' does not exist and "
+                    f"has a suffix. Undefined scenario.")
+            show_status(f"Creating directory: {dest_dir}")
+            dest_dir.mkdir(parents=True)
+
+        for input_path in paths[:-1]:
+            if not input_path.is_file():
+                raise FileNotFound(str(input_path))
+            dest_path = dest_dir / input_path.name
+            if dest_path.exists() and not args.overwrite:
+                raise FileExists(str(dest_path))
+            if dest_path.exists():
+                os.remove(dest_path)
+            metrics = process_file(input_path, dest_path, opts)
+            _emit_metrics(metrics, dest_path, args)
+
+    else:
+        raise UsageError("Invalid number of parameters. Need at least 2.")
+
+
+def main(argv=None) -> int:
+    """Entry point with the reference's exception-to-exit-code mapping
+    (main.cp:150-166)."""
+    try:
+        run(argv)
+    except StopNoError as e:
+        msg = str(e)
+        if msg:
+            print(msg)
+        return 0
+    except SystemExit as e:  # argparse --help exits 0
+        return int(e.code or 0)
+    except DiskerrorError as e:
+        print(e, file=sys.stderr)
+        return 1
+    except Exception as e:  # noqa: BLE001 — reference catches everything
+        print(e, file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

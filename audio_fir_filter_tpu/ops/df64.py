@@ -1,0 +1,178 @@
+"""Double-float ("df64") arithmetic: ~49-bit mantissa from float32 pairs.
+
+TPUs have no native float64 (SURVEY.md §1: L0 mapping). The reference does
+its kernel math in float64 (/root/reference/FilterCore.h:22, README.md:10-11);
+to meet the <=1 LSB @ 24-bit fidelity target (BASELINE.md) on float32
+hardware, the high-precision engine runs its FFTs in double-float arithmetic:
+each number is an unevaluated sum hi + lo of two float32s (Dekker 1971 /
+Knuth TAOCP error-free transformations).
+
+All operations are elementwise jnp ops on (hi, lo) array pairs — VPU-native,
+fusable by XLA, usable inside Pallas kernels unchanged. Correctness depends
+on strict IEEE float32 add/mul (no fast-math reassociation), which XLA:TPU
+honors; tests/test_df64.py asserts the error-free properties numerically.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class DF64(NamedTuple):
+    """Unevaluated sum hi + lo, |lo| <= ulp(hi)/2. A JAX pytree."""
+
+    hi: jnp.ndarray
+    lo: jnp.ndarray
+
+
+# 2^12 + 1: Dekker split constant for float32 (24-bit mantissa -> 12+12).
+_SPLIT = np.float32(4097.0)
+
+
+def _two_sum(a, b):
+    """Error-free a + b: returns (s, err) with s + err == a + b exactly."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _quick_two_sum(a, b):
+    """Error-free a + b assuming |a| >= |b|."""
+    s = a + b
+    return s, b - (s - a)
+
+
+def _split(a):
+    t = _SPLIT * a
+    hi = t - (t - a)
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    """Error-free a * b via Dekker splitting (no FMA dependency)."""
+    p = a * b
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+# ------------------------------------------------------------- constructors
+
+def from_f32(x) -> DF64:
+    x = jnp.asarray(x, jnp.float32)
+    return DF64(x, jnp.zeros_like(x))
+
+
+def df64_split_np(x64: np.ndarray) -> DF64:
+    """Host-side split of a float64 array into an exact (hi, lo) f32 pair,
+    kept as NumPy arrays (safe to cache across jit traces — they embed as
+    constants; device arrays created inside a trace would leak tracers)."""
+    x64 = np.asarray(x64, np.float64)
+    hi = x64.astype(np.float32)
+    lo = (x64 - hi.astype(np.float64)).astype(np.float32)
+    return DF64(hi, lo)
+
+
+def df64_split_array(x64: np.ndarray) -> DF64:
+    """Like :func:`df64_split_np` but as device arrays (for jit arguments)."""
+    hi, lo = df64_split_np(x64)
+    return DF64(jnp.asarray(hi), jnp.asarray(lo))
+
+
+def to_f64(x: DF64) -> np.ndarray:
+    return np.asarray(x.hi, np.float64) + np.asarray(x.lo, np.float64)
+
+
+def to_f32(x: DF64) -> jnp.ndarray:
+    return x.hi + x.lo
+
+
+# ---------------------------------------------------------------- real ops
+
+def add(x: DF64, y: DF64) -> DF64:
+    s, e = _two_sum(x.hi, y.hi)
+    e = e + (x.lo + y.lo)
+    return DF64(*_quick_two_sum(s, e))
+
+
+def sub(x: DF64, y: DF64) -> DF64:
+    return add(x, neg(y))
+
+
+def neg(x: DF64) -> DF64:
+    return DF64(-x.hi, -x.lo)
+
+
+def mul(x: DF64, y: DF64) -> DF64:
+    p, e = _two_prod(x.hi, y.hi)
+    e = e + (x.hi * y.lo + x.lo * y.hi)
+    return DF64(*_quick_two_sum(p, e))
+
+
+def mul_f32(x: DF64, c) -> DF64:
+    """Multiply by a plain float32 (exact two_prod on the hi part)."""
+    p, e = _two_prod(x.hi, c)
+    e = e + x.lo * c
+    return DF64(*_quick_two_sum(p, e))
+
+
+def mul_pow2(x: DF64, c: float) -> DF64:
+    """Multiply by an exact power of two (error-free, no renormalization)."""
+    c = jnp.float32(c)
+    return DF64(x.hi * c, x.lo * c)
+
+
+# ------------------------------------------------------------- complex ops
+
+class CDF64(NamedTuple):
+    """Complex double-float: re + i*im, each a DF64. A JAX pytree."""
+
+    re: DF64
+    im: DF64
+
+
+def cfrom_f32(re, im) -> CDF64:
+    return CDF64(from_f32(re), from_f32(im))
+
+
+def csplit_np(z64: np.ndarray) -> CDF64:
+    z64 = np.asarray(z64, np.complex128)
+    return CDF64(df64_split_np(z64.real), df64_split_np(z64.imag))
+
+
+def csplit_array(z64: np.ndarray) -> CDF64:
+    z64 = np.asarray(z64, np.complex128)
+    return CDF64(df64_split_array(z64.real), df64_split_array(z64.imag))
+
+
+def cadd(x: CDF64, y: CDF64) -> CDF64:
+    return CDF64(add(x.re, y.re), add(x.im, y.im))
+
+
+def csub(x: CDF64, y: CDF64) -> CDF64:
+    return CDF64(sub(x.re, y.re), sub(x.im, y.im))
+
+
+def cmul(x: CDF64, y: CDF64) -> CDF64:
+    return CDF64(
+        sub(mul(x.re, y.re), mul(x.im, y.im)),
+        add(mul(x.re, y.im), mul(x.im, y.re)),
+    )
+
+
+def cconj(x: CDF64) -> CDF64:
+    return CDF64(x.re, neg(x.im))
+
+
+def cneg_im(x: CDF64) -> CDF64:
+    """Multiply by -i: (re, im) -> (im, -re)."""
+    return CDF64(x.im, neg(x.re))
+
+
+def cmul_pow2(x: CDF64, c: float) -> CDF64:
+    return CDF64(mul_pow2(x.re, c), mul_pow2(x.im, c))

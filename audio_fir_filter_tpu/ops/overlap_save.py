@@ -1,0 +1,176 @@
+"""Overlap-save FFT convolution engine (the TPU hot path).
+
+Replaces the reference's per-thread O(N*M) direct time-domain loop
+(/root/reference/FilterCore.h:20-79) with an O(N log B) frequency-domain
+engine: rFFT(block) * H -> irFFT, overlap-save with kernel-length history
+(SURVEY.md §3.5: ~200x algorithmic advantage at default shapes before any
+hardware advantage).
+
+Semantics are exactly the reference's zero-padded "same" convolution
+(see :mod:`.oracle`):
+
+    out[i] = sum_{k=0}^{M} h[k] * x[i - Mo2 + k],   x == 0 outside [0, N)
+
+Blocking scheme (derivation in SURVEY.md §7 step 4): with FFT size B and
+hop L = B - M, block j reads padded input xp[j*L : j*L + B] where
+xp = [Mo2 zeros | x | right-pad zeros]; the circular convolution of the
+block with the reversed kernel is alias-free in positions [M, B), which are
+precisely out[j*L : j*L + L].
+
+Two precision modes, both running the framework's own Stockham FFT
+(:mod:`.fft_core` — XLA's FFT op is unimplemented on this TPU backend):
+- "fast": float32 (re, im) pair FFT. Empirically ~few LSB @ 24-bit vs the
+  f64 oracle; bit-clean at 16-bit.
+- "high": double-float (two-float32, ~49-bit mantissa) FFT — targeting
+  <= 1 LSB @ 24-bit (BASELINE.md north star).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import fft_core
+from .fft_core import ARITH_DF64, ARITH_F32
+from ..utils.jax_setup import configure_jax
+
+configure_jax()
+
+FAST = "fast"
+HIGH = "high"
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+def choose_block_size(num_taps: int, requested: int = 0,
+                      min_size: int = 1 << 13, max_size: int = 1 << 21) -> int:
+    """FFT size B for kernel length T: smallest power of two >= 8*(T-1),
+    clamped to [min_size, max_size] but always > 2*(T-1) so the hop L = B-M
+    stays a useful fraction of B (amortizes the FFT over >= ~75% of B)."""
+    m = num_taps - 1
+    if requested:
+        b = _next_pow2(requested)
+        if b <= m:
+            raise ValueError(f"block size {requested} must exceed kernel order {m}")
+        return b
+    b = max(min_size, _next_pow2(8 * max(m, 1)))
+    while b > max_size and b >= 4 * _next_pow2(m + 1):
+        b >>= 1
+    return b
+
+
+@dataclasses.dataclass(frozen=True)
+class OverlapSavePlan:
+    """Static convolution plan: sizes + frequency-domain kernel.
+
+    ``H`` is rfft(reversed taps zero-padded to B), computed in float64 on
+    host. Fast path keeps it complex64; high path keeps a double-float
+    split of (re, im) as four float32 arrays.
+    """
+
+    num_taps: int          # T = M + 1
+    block_size: int        # B (power of two)
+    precision: str
+    # Frequency response in the path's arithmetic: C32 (fast) / CDF64 (high).
+    H: tuple | None = dataclasses.field(default=None, compare=False)
+
+    @property
+    def m(self) -> int:
+        return self.num_taps - 1
+
+    @property
+    def mo2(self) -> int:
+        return self.m // 2
+
+    @property
+    def hop(self) -> int:
+        return self.block_size - self.m
+
+
+def make_plan(taps: np.ndarray, precision: str = HIGH, block_size: int = 0) -> OverlapSavePlan:
+    taps = np.asarray(taps, dtype=np.float64)
+    t = len(taps)
+    if t % 2 != 1:
+        raise ValueError("taps must have odd length (type-I linear phase)")
+    b = choose_block_size(t, block_size)
+    hr = taps[::-1]
+    H64 = np.fft.rfft(hr, b)  # complex128 on host (design stays f64)
+    if precision == FAST:
+        H = ARITH_F32.wrap_np(H64)
+        return OverlapSavePlan(t, b, FAST, H=jax.tree.map(jnp.asarray, H))
+    if precision == HIGH:
+        H = ARITH_DF64.wrap_np(H64)
+        return OverlapSavePlan(t, b, HIGH, H=jax.tree.map(jnp.asarray, H))
+    raise ValueError(f"unknown precision {precision!r} (use 'fast' or 'high')")
+
+
+# ----------------------------------------------------------------- core math
+
+def _blocks_from_padded(xp: jax.Array, nb: int, hop: int, b: int) -> jax.Array:
+    """Gather overlapped blocks [nb, B] from the padded 1-D signal."""
+    starts = jnp.arange(nb) * hop
+    return jax.vmap(lambda s: jax.lax.dynamic_slice(xp, (s,), (b,)))(starts)
+
+
+def _filter_blocks(blocks: jax.Array, H, m: int, precision: str) -> jax.Array:
+    """[.., B] blocks -> [.., L] valid outputs (FFT . *H . iFFT, slice)."""
+    arith = ARITH_F32 if precision == FAST else ARITH_DF64
+    y = fft_core.rfft_multiply_irfft(blocks, H, arith)
+    return y[..., m:]
+
+
+def _same_filter_impl(x: jax.Array, plan_static: tuple, H) -> jax.Array:
+    """Zero-padded 'same' filtering of [C, N] (N static). Core jit body."""
+    t, b, precision = plan_static
+    m, mo2, hop = t - 1, (t - 1) // 2, b - (t - 1)
+    c, n = x.shape
+    nb = -(-n // hop)  # ceil
+    pad_right = nb * hop + m - mo2 - n
+    xp = jnp.pad(x, ((0, 0), (mo2, pad_right)))
+
+    def per_channel(xc):
+        blocks = _blocks_from_padded(xc, nb, hop, b)
+        yb = _filter_blocks(blocks, H, m, precision)
+        return yb.reshape(nb * hop)[:n]
+
+    return jax.vmap(per_channel)(xp)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _same_filter_jit(x, plan_static, H):
+    return _same_filter_impl(x, plan_static, H)
+
+
+def same_filter(x, plan: OverlapSavePlan) -> jax.Array:
+    """Filter [N] or [C, N] float32 with reference 'same' semantics."""
+    x = jnp.asarray(x, dtype=jnp.float32)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None, :]
+    y = _same_filter_jit(x, (plan.num_taps, plan.block_size, plan.precision), plan.H)
+    return y[0] if squeeze else y
+
+
+def extended_filter(xe, plan: OverlapSavePlan, out_len: int) -> jax.Array:
+    """Filter with explicit halos: xe is [C, S + M] = [left Mo2 | body S | right Mo2].
+
+    Returns out[0:S] for the body region — the primitive used by host-side
+    segmentation and by the sharded time-parallel path (halos replace
+    zero-padding except at true signal edges; SURVEY.md §2.3).
+    """
+    xe = jnp.asarray(xe, dtype=jnp.float32)
+    squeeze = xe.ndim == 1
+    if squeeze:
+        xe = xe[None, :]
+    y = _same_filter_jit(xe, (plan.num_taps, plan.block_size, plan.precision), plan.H)
+    y = y[:, plan.mo2 : plan.mo2 + out_len]
+    return y[0] if squeeze else y

@@ -1,0 +1,94 @@
+"""Per-file pipeline: read -> design -> filter on device -> normalize -> write.
+
+TPU-native equivalent of the reference's ``process_file``
+(/root/reference/ProcessFile.cp:27-120). Stage for stage:
+
+  reference                                   here
+  ------------------------------------------  --------------------------------
+  AudioFile/AudioFormat/AudioSamples readAll  audio.read_audio (all chunks +
+    (ProcessFile.cp:34-41)                      planar float32 samples)
+  WindowedSinc(freq/fs, slope/fs).makeLowCut  models.LowCut().taps(fs) ->
+    (ProcessFile.cp:48-50)                      overlap-save plan (f64 design)
+  per-channel thread fan-out + join           all channels batched into one
+    (ProcessFile.cp:57-87)                      device array, time-segmented
+                                                streaming (pipeline.stream)
+  max_mag reduce + conditional normalize      np peak + single common scale
+    (ProcessFile.cp:92-101)
+  chunk-copy + writeAll                       audio.write_audio (atomic)
+    (ProcessFile.cp:105-117)
+
+Deliberate behavior decisions (SURVEY.md §2.4):
+- Auto-normalize when the filtered peak exceeds 1.0 even without ``-n``
+  (silent-clipping protection) — preserved exactly (ProcessFile.cp:98-101).
+- "Processing file: <name>" prints unconditionally (ProcessFile.cp:37).
+- Verbose status lines print iff ``--verbose`` — the reference's main.cp
+  inverts this for its own messages (main.cp:69-72, a bug); we follow the
+  sane convention of ProcessFile.cp:29-30 everywhere.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from .. import audio
+from ..models import LowCut
+from ..utils.options import FilterOptions
+from ..utils.progress import ProgressBar
+from .stream import filter_array_streamed
+
+
+def process_file(input_path, output_path, opts: FilterOptions,
+                 show_progress: bool = True) -> dict:
+    """Filter one audio file. Returns per-stage timing metrics (seconds)."""
+    t = {}
+
+    def show_status(msg: str) -> None:
+        if opts.verbose:
+            print(msg)
+
+    show_status("Opening input file.")
+    t0 = time.perf_counter()
+    data = audio.read_audio(input_path)
+    t["read"] = time.perf_counter() - t0
+
+    name = getattr(input_path, "name", None) or str(input_path).rsplit("/", 1)[-1]
+    print(f"Processing file: {name}")
+
+    fs = data.fmt.sample_rate
+    show_status("Creating sinc kernel for this file's sample rate.")
+    t0 = time.perf_counter()
+    model = LowCut(freq=opts.freq, slope=opts.slope)
+    plan = model.plan(fs, precision=opts.precision, block_size=opts.block_size)
+    t["design"] = time.perf_counter() - t0
+
+    show_status("Filtering.")
+    total = data.num_frames * data.num_channels
+    bar = ProgressBar(total, enabled=show_progress and sys.stdout.isatty())
+    t0 = time.perf_counter()
+    filtered = filter_array_streamed(data.samples, plan, progress_cb=bar.update)
+    t["filter"] = time.perf_counter() - t0
+    bar.final()
+
+    # Normalize if any channel exceeds full scale, or on explicit request
+    # (ProcessFile.cp:92-101: one global peak, one common factor).
+    t0 = time.perf_counter()
+    max_mag = float(np.max(np.abs(filtered))) if filtered.size else 0.0
+    if max_mag > 1.0 or opts.normalize:
+        show_status("Doing audio normalize.")
+        filtered = audio.normalize(filtered)
+    t["normalize"] = time.perf_counter() - t0
+
+    show_status("Writing output file.")
+    t0 = time.perf_counter()
+    audio.write_audio(output_path, data, samples=filtered)
+    t["write"] = time.perf_counter() - t0
+
+    show_status("")
+    t["frames"] = data.num_frames
+    t["channels"] = data.num_channels
+    t["sample_rate"] = fs
+    t["peak"] = max_mag
+    return t

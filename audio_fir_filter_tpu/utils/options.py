@@ -1,0 +1,40 @@
+"""Filter options carrier.
+
+Mirror of the reference ``FilterOptions`` struct
+(/root/reference/ProcessFile.h:13-19) plus TPU-specific knobs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+
+def default_num_workers() -> int:
+    """Default host worker count: floor(0.7 * cores), fallback 4.
+
+    Reference: /root/reference/main.cp:75-76 (README.md:44 says "2/3 of
+    cores" but the code uses 0.7; we follow the code).
+    """
+    n = int((os.cpu_count() or 0) * 0.7)
+    return n if n > 0 else 4
+
+
+@dataclasses.dataclass
+class FilterOptions:
+    # Reference-compatible options (ProcessFile.h:13-19, main.cp:43-59).
+    freq: float = 15.0        # cutoff frequency, Hz      (main.cp:43 default 15)
+    slope: float = 10.0       # transition band width, Hz (main.cp:45 default 10)
+    normalize: bool = False   # -n: always normalize to full scale
+    verbose: bool = False
+    num_threads: int = 0      # 0 -> default_num_workers(); drives host I/O workers
+
+    # TPU-native extensions.
+    precision: str = "high"   # "high": double-float FFT path (<=1 LSB @ 24-bit)
+                              # "fast": plain float32 FFT path
+    block_size: int = 0       # overlap-save FFT size; 0 -> auto from kernel length
+    mesh_shape: tuple[int, ...] | None = None  # None -> all local devices on "time"
+    json_metrics: bool = False  # emit per-stage timing metrics as JSON
+
+    def resolved_num_threads(self) -> int:
+        return self.num_threads if self.num_threads > 0 else default_num_workers()

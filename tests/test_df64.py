@@ -1,0 +1,117 @@
+"""Double-float arithmetic + df64 FFT tests.
+
+Asserts the error-free transformations actually hold under XLA:CPU/TPU
+compilation (strict IEEE f32 required), and that the df64 FFT reaches
+near-float64 accuracy.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_fir_filter_tpu.ops import df64, fft_df64
+
+
+def rand64(shape, seed=0, scale=1.0):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-scale, scale, shape).astype(np.float64)
+
+
+def test_split_roundtrip_exact():
+    x = rand64(1000, seed=1)
+    d = df64.df64_split_array(x)
+    # hi + lo recovers x to the double-float mantissa width (~2^-48 rel).
+    assert np.max(np.abs(df64.to_f64(d) - x)) <= np.max(np.abs(x)) * 2**-46
+
+
+def test_two_sum_error_free_under_jit():
+    @jax.jit
+    def f(a, b):
+        s, e = df64._two_sum(a, b)
+        return s, e
+
+    a = jnp.float32(1.0)
+    b = jnp.float32(1e-8)  # lost entirely in plain f32 add
+    s, e = f(a, b)
+    assert float(s) == 1.0
+    assert float(e) == pytest.approx(1e-8, rel=1e-6)
+    assert float(np.float64(s) + np.float64(e)) == pytest.approx(1.0 + 1e-8, rel=0, abs=1e-17)
+
+
+def test_two_prod_error_free_under_jit():
+    @jax.jit
+    def f(a, b):
+        return df64._two_prod(a, b)
+
+    rng = np.random.default_rng(3)
+    a = rng.uniform(-1, 1, 4096).astype(np.float32)
+    b = rng.uniform(-1, 1, 4096).astype(np.float32)
+    p, e = f(jnp.asarray(a), jnp.asarray(b))
+    exact = a.astype(np.float64) * b.astype(np.float64)
+    got = np.asarray(p, np.float64) + np.asarray(e, np.float64)
+    np.testing.assert_array_equal(got, exact)  # Dekker product is exact
+
+
+@pytest.mark.parametrize("op,npop", [
+    (df64.add, np.add), (df64.sub, np.subtract), (df64.mul, np.multiply),
+])
+def test_df64_ops_accuracy(op, npop):
+    x = rand64(2048, seed=4)
+    y = rand64(2048, seed=5)
+    dx, dy = df64.df64_split_array(x), df64.df64_split_array(y)
+    got = df64.to_f64(jax.jit(op)(dx, dy))
+    want = npop(x, y)
+    # Error is bounded relative to the operands (cancellation can make the
+    # result arbitrarily small); operands themselves carry ~2^-48 split error.
+    denom = np.maximum(np.abs(x), np.abs(y))
+    assert np.max(np.abs(got - want) / denom) < 2**-44
+
+
+def test_cmul_accuracy():
+    z1 = rand64(512, seed=6) + 1j * rand64(512, seed=7)
+    z2 = rand64(512, seed=8) + 1j * rand64(512, seed=9)
+    d1, d2 = df64.csplit_array(z1), df64.csplit_array(z2)
+    got = jax.jit(df64.cmul)(d1, d2)
+    want = z1 * z2
+    err = np.abs((df64.to_f64(got.re) + 1j * df64.to_f64(got.im)) - want)
+    assert np.max(err) < np.max(np.abs(want)) * 2**-43
+
+
+@pytest.mark.parametrize("n", [64, 1024, 16384])
+def test_fft_cdf64_matches_numpy_f64(n):
+    z = rand64(n, seed=10) + 1j * rand64(n, seed=11)
+    zd = df64.csplit_array(z)
+    got = jax.jit(lambda t: fft_df64.fft_cdf64(t, n))(zd)
+    want = np.fft.fft(z)
+    err = np.abs((df64.to_f64(got.re) + 1j * df64.to_f64(got.im)) - want)
+    # df64 FFT error ~ eps_df64 * log2(n); bound generously at 2^-40 * n-norm
+    assert np.max(err) < np.max(np.abs(want)) * 2**-38
+
+
+@pytest.mark.parametrize("n", [256, 4096])
+def test_rfft_irfft_df64_roundtrip(n):
+    x = rand64(n, seed=12).astype(np.float32)
+    X = jax.jit(fft_df64.rfft_df64)(jnp.asarray(x))
+    want = np.fft.rfft(x.astype(np.float64))
+    err = np.abs((df64.to_f64(X.re) + 1j * df64.to_f64(X.im)) - want)
+    assert np.max(err) < np.max(np.abs(want)) * 2**-38
+    back = jax.jit(lambda t: fft_df64.irfft_df64(t, n))(X)
+    # Round-trip back to the original float32 samples: exact to f32 rounding.
+    np.testing.assert_allclose(np.asarray(back), x, rtol=0, atol=2**-22 * np.max(np.abs(x)))
+
+
+def test_rfft_multiply_irfft_convolution_accuracy():
+    """Full spectral step vs float64 numpy: the engine's accuracy core."""
+    n = 8192
+    x = rand64(n, seed=13).astype(np.float32)
+    h = rand64(n, seed=14) * np.exp(-np.arange(n) / 50.0)  # decaying kernel
+    H = df64.csplit_array(np.fft.rfft(h))
+    got = np.asarray(
+        jax.jit(fft_df64.rfft_multiply_irfft)(jnp.asarray(x)[None, :], H)
+    )[0]
+    want = np.fft.irfft(np.fft.rfft(x.astype(np.float64)) * np.fft.rfft(h), n)
+    scale = np.max(np.abs(want))
+    # must be at float32-cast accuracy: the df64 pipeline error is far below
+    # the final f32 rounding of the output.
+    assert np.max(np.abs(got - want)) < scale * 2**-22

@@ -1,0 +1,120 @@
+"""Overlap-save engine vs the float64 oracle (SURVEY.md §4.1-4.2).
+
+Gate (SURVEY.md §7 step 4): high-precision path matches the oracle within
+1 LSB @ 24-bit on TPU (relaxed on the CPU test backend — see fft_core.py's
+accuracy notes); fast path within 1 LSB @ 16-bit. Edge zero-padding must be
+identical to the reference's 3-phase semantics (tested via the oracle, which
+is itself proven equal to the loop transliteration in test_oracle.py).
+
+Tests use small kernels + explicit small block sizes to keep the unrolled
+FFT graphs quick to compile; correctness properties are size-independent.
+"""
+
+import numpy as np
+import pytest
+
+from audio_fir_filter_tpu.ops import kernel_design as kd
+from audio_fir_filter_tpu.ops import oracle
+from audio_fir_filter_tpu.ops import overlap_save as osv
+
+from util import high_tol_lsb24
+
+
+def make_case(n, fc=0.05, bw=0.02, seed=0, channels=None):
+    ws = kd.WindowedSinc(fc, bw).make_low_cut()   # bw=0.02 -> 201 taps
+    rng = np.random.default_rng(seed)
+    shape = (n,) if channels is None else (channels, n)
+    x = rng.uniform(-1, 1, shape).astype(np.float32)
+    return x, ws
+
+
+def test_choose_block_size():
+    assert osv.choose_block_size(17641) == 1 << 18   # 8*17640 -> 2^18
+    assert osv.choose_block_size(401) == 1 << 13     # min clamp
+    assert osv.choose_block_size(401, requested=4096) == 4096
+    with pytest.raises(ValueError):
+        osv.choose_block_size(9000, requested=4096)
+
+
+@pytest.mark.parametrize("precision,bits", [(osv.FAST, 16), (osv.HIGH, 24)])
+def test_engine_matches_oracle(precision, bits):
+    x, ws = make_case(n=6000, seed=1)
+    plan = osv.make_plan(ws.taps, precision=precision, block_size=1024)
+    y = np.asarray(osv.same_filter(x, plan))
+    ref = oracle.direct_filter(x, ws.taps)
+    tol = high_tol_lsb24() if bits == 24 else 1.0
+    assert oracle.max_lsb_error(y, ref, bits=bits) <= tol
+
+
+@pytest.mark.parametrize("n", [100, 823, 824, 825, 5000])
+def test_engine_lengths_and_edges(n):
+    """Lengths around block boundaries (hop=824 at B=1024, T=201);
+    edge zero-pad semantics exact."""
+    x, ws = make_case(n=n, seed=2)
+    plan = osv.make_plan(ws.taps, precision=osv.HIGH, block_size=1024)
+    y = np.asarray(osv.same_filter(x, plan))
+    ref = oracle.direct_filter(x, ws.taps)
+    assert y.shape == ref.shape
+    assert oracle.max_lsb_error(y, ref, bits=24) <= high_tol_lsb24()
+
+
+def test_engine_multichannel_matches_per_channel():
+    x, ws = make_case(n=3000, seed=3, channels=3)
+    plan = osv.make_plan(ws.taps, precision=osv.HIGH, block_size=1024)
+    y = np.asarray(osv.same_filter(x, plan))
+    for c in range(3):
+        ref = oracle.direct_filter(x[c], ws.taps)
+        assert oracle.max_lsb_error(y[c], ref, bits=24) <= high_tol_lsb24()
+
+
+def test_extended_filter_equals_interior_of_same_filter():
+    """Halo-extended filtering must equal the interior of full filtering —
+    the property the sharded time-parallel path relies on (SURVEY.md §2.3).
+
+    Different jit shapes can legally produce bit-different f32 roundings, so
+    the check is at the quantization level, not bit equality.
+    """
+    x, ws = make_case(n=8000, seed=4)
+    plan = osv.make_plan(ws.taps, precision=osv.HIGH, block_size=1024)
+    full = np.asarray(osv.same_filter(x, plan))
+    mo2 = ws.mo2
+    s, e = 2000, 6000
+    xe = x[s - mo2 : e + mo2]
+    seg = np.asarray(osv.extended_filter(xe, plan, e - s))
+    assert oracle.max_lsb_error(seg, full[s:e], bits=24) <= 2 * high_tol_lsb24()
+
+
+def test_kernel_longer_than_signal():
+    x, ws = make_case(n=100, seed=5)  # M=200 > N=100
+    plan = osv.make_plan(ws.taps, precision=osv.HIGH, block_size=1024)
+    y = np.asarray(osv.same_filter(x, plan))
+    ref = oracle.direct_filter(x, ws.taps)
+    assert oracle.max_lsb_error(y, ref, bits=24) <= high_tol_lsb24()
+
+
+def test_impulse_through_engine_recovers_taps():
+    ws = kd.WindowedSinc(0.1, 0.02).make_low_cut()
+    n = ws.num_taps + 500
+    x = np.zeros(n, dtype=np.float32)
+    x[n // 2] = 1.0
+    plan = osv.make_plan(ws.taps, precision=osv.HIGH, block_size=1024)
+    y = np.asarray(osv.same_filter(x, plan))
+    lo = n // 2 - ws.mo2
+    np.testing.assert_allclose(
+        y[lo : lo + ws.num_taps], ws.taps.astype(np.float32), atol=2 ** -22
+    )
+
+
+def test_sine_passband_and_stopband():
+    """Behavioral: a 20 Hz tone through a 440 Hz low-cut dies; 2 kHz passes."""
+    fs = 44100.0
+    ws = kd.WindowedSinc(440.0 / fs, 300.0 / fs).make_low_cut()
+    n = 3 * ws.num_taps
+    t = np.arange(n) / fs
+    plan = osv.make_plan(ws.taps, precision=osv.FAST, block_size=2048)
+    low = np.sin(2 * np.pi * 20.0 * t).astype(np.float32)
+    hig = np.sin(2 * np.pi * 2000.0 * t).astype(np.float32)
+    y_low = np.asarray(osv.same_filter(low, plan))[ws.num_taps : -ws.num_taps]
+    y_hig = np.asarray(osv.same_filter(hig, plan))[ws.num_taps : -ws.num_taps]
+    assert np.max(np.abs(y_low)) < 1e-3
+    assert np.max(np.abs(y_hig - hig[ws.num_taps : -ws.num_taps])) < 1e-2

@@ -1,0 +1,114 @@
+"""End-to-end pipeline tests: file in -> filtered file out (SURVEY.md §4).
+
+Golden-model check: CLI-pipeline output samples == oracle(direct f64 conv)
+within quantization bounds; metadata chunks preserved byte-exactly;
+auto-normalize-on-clip semantics.
+"""
+
+import numpy as np
+import pytest
+
+from audio_fir_filter_tpu import audio
+from audio_fir_filter_tpu.audio import Encoding
+from audio_fir_filter_tpu.audio.chunks import Chunk
+from audio_fir_filter_tpu.audio.synth import create_audio_file
+from audio_fir_filter_tpu.ops import kernel_design as kd
+from audio_fir_filter_tpu.ops import oracle
+from audio_fir_filter_tpu.pipeline import filter_array_streamed, process_file
+from audio_fir_filter_tpu.ops import overlap_save as osv
+from audio_fir_filter_tpu.utils.options import FilterOptions
+
+from util import high_tol_lsb24
+
+FS = 8000.0  # low rate keeps kernels short (fast tests)
+OPTS = dict(freq=100.0, slope=200.0, precision="high", block_size=1024)
+
+
+def make_input(tmp_path, name="in.wav", channels=2, frames=6000,
+               encoding=Encoding.PCM_24, scale=0.5, extra=None, fs=FS):
+    rng = np.random.default_rng(42)
+    x = rng.uniform(-scale, scale, (channels, frames)).astype(np.float32)
+    p = tmp_path / name
+    create_audio_file(p, x, fs, encoding=encoding, extra_chunks=extra or [])
+    return p, x
+
+
+def test_streamed_equals_whole_array():
+    ws = kd.WindowedSinc(0.02, 0.025).make_low_cut()
+    plan = osv.make_plan(ws.taps, precision="high", block_size=1024)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (2, 20_000)).astype(np.float32)
+    whole = np.asarray(osv.same_filter(x, plan))
+    seg = filter_array_streamed(x, plan, segment_len=plan.hop * 3)
+    assert oracle.max_lsb_error(seg, whole, bits=24) <= 2 * high_tol_lsb24()
+
+
+def test_process_file_matches_oracle(tmp_path):
+    p, x = make_input(tmp_path)
+    out = tmp_path / "out.wav"
+    opts = FilterOptions(**OPTS)
+    metrics = process_file(p, out, opts, show_progress=False)
+    assert metrics["frames"] == 6000 and metrics["channels"] == 2
+
+    result = audio.read_audio(out)
+    # Oracle on the decoded (quantized) input, like the reference pipeline.
+    data_in = audio.read_audio(p)
+    taps = kd.highpass_taps(opts.freq / FS, kd.kernel_length(opts.slope / FS))
+    for c in range(2):
+        ref = oracle.direct_filter(data_in.samples[c], taps)
+        # engine error + 24-bit output quantization (0.5 LSB)
+        err = oracle.max_lsb_error(result.samples[c], ref, bits=24)
+        assert err <= high_tol_lsb24() + 0.5
+
+
+def test_process_file_preserves_metadata(tmp_path):
+    meta = Chunk(b"bext", b"broadcast wav metadata blob\x00\x01")
+    odd = Chunk(b"JUNK", b"xyz")  # odd-sized
+    p, _ = make_input(tmp_path, extra=[meta, odd])
+    out = tmp_path / "out.wav"
+    process_file(p, out, FilterOptions(**OPTS), show_progress=False)
+    cin = audio.read_audio(p).container
+    cout = audio.read_audio(out).container
+    assert [c.ckid for c in cout.chunks] == [c.ckid for c in cin.chunks]
+    for a, b in zip(cin.chunks, cout.chunks):
+        if a.ckid != b"data":
+            assert a.data == b.data  # byte-exact (README.md:9 parity)
+
+
+def test_process_file_aiff(tmp_path):
+    p, x = make_input(tmp_path, name="in.aif", encoding=Encoding.PCM_16)
+    out = tmp_path / "out.aif"
+    process_file(p, out, FilterOptions(**OPTS), show_progress=False)
+    result = audio.read_audio(out)
+    assert result.kind == "aiff"
+    assert result.num_frames == 6000
+    data_in = audio.read_audio(p)
+    taps = kd.highpass_taps(100.0 / FS, kd.kernel_length(200.0 / FS))
+    ref = oracle.direct_filter(data_in.samples[0], taps)
+    assert oracle.max_lsb_error(result.samples[0], ref, bits=16) <= 1.0
+
+
+def test_auto_normalize_on_clip(tmp_path):
+    """Filtered peak > 1.0 triggers normalize even without -n
+    (ProcessFile.cp:98-101)."""
+    # Full-scale low-frequency square-ish signal overshoots after high-pass.
+    frames = 4000
+    t = np.arange(frames) / FS
+    x = np.sign(np.sin(2 * np.pi * 300.0 * t)).astype(np.float32)[None, :] * 0.999
+    p = tmp_path / "sq.wav"
+    create_audio_file(p, x, FS, encoding=Encoding.PCM_24)
+    out = tmp_path / "sq_out.wav"
+    m = process_file(p, out, FilterOptions(**OPTS), show_progress=False)
+    result = audio.read_audio(out)
+    peak = np.max(np.abs(result.samples))
+    if m["peak"] > 1.0:  # overshoot occurred -> must have been normalized
+        assert peak <= 1.0
+    assert peak <= 1.0  # never clipped output in any case
+
+
+def test_explicit_normalize(tmp_path):
+    p, _ = make_input(tmp_path, scale=0.1)
+    out = tmp_path / "n.wav"
+    process_file(p, out, FilterOptions(normalize=True, **OPTS), show_progress=False)
+    result = audio.read_audio(out)
+    assert np.isclose(np.max(np.abs(result.samples)), 1.0, atol=2 ** -20)
