@@ -75,10 +75,37 @@ def build_parser() -> argparse.ArgumentParser:
                         "'fast' = float32 FFT. (default: high)")
     p.add_argument("--block-size", type=int, default=0, metavar="B",
                    help="Overlap-save FFT size (power of two; 0 = auto).")
+    p.add_argument("--engine", choices=["pease", "stockham"], default="pease",
+                   help="FFT engine: 'pease' (constant-geometry, compiles in "
+                        "seconds) or 'stockham' (unrolled, ~2x faster steady-"
+                        "state but minutes of first-run compile). "
+                        "(default: pease)")
+    p.add_argument("--mesh", type=str, default=None, metavar="DxT",
+                   help="Device mesh shape data x time, e.g. 1x8: shard the "
+                        "sample axis across T devices (halo exchange) and "
+                        "channels across D devices. Default: single device.")
     p.add_argument("--json-metrics", action="store_true",
                    help="Print per-stage timing metrics as JSON to stderr.")
+    p.add_argument("--resume", action="store_true",
+                   help="Batch mode: keep a manifest in the destination "
+                        "directory and skip files already completed by a "
+                        "previous (possibly failed) run with the same "
+                        "filter settings.")
     p.add_argument("paths", nargs="*", help=argparse.SUPPRESS)
     return p
+
+
+def _parse_mesh(spec: str | None):
+    if spec is None:
+        return None
+    try:
+        d, t = spec.lower().split("x")
+        shape = (int(d), int(t))
+        if shape[0] < 1 or shape[1] < 1:
+            raise ValueError
+        return shape
+    except ValueError:
+        raise UsageError(f"--mesh expects DxT (e.g. 1x8), got {spec!r}") from None
 
 
 def _options_from_args(args) -> FilterOptions:
@@ -89,7 +116,9 @@ def _options_from_args(args) -> FilterOptions:
         verbose=args.verbose,
         num_threads=args.threads,
         precision=args.precision,
+        engine=args.engine,
         block_size=args.block_size,
+        mesh_shape=_parse_mesh(args.mesh),
         json_metrics=args.json_metrics,
     )
 
@@ -157,16 +186,41 @@ def run(argv=None) -> None:
             show_status(f"Creating directory: {dest_dir}")
             dest_dir.mkdir(parents=True)
 
-        for input_path in paths[:-1]:
+        manifest = None
+        if args.resume:
+            from .pipeline.manifest import BatchManifest, options_fingerprint
+
+            manifest = BatchManifest(dest_dir, options_fingerprint(opts))
+
+        inputs = paths[:-1]
+        # Multi-host batch: shard files across JAX processes (each host
+        # filters its own subset; no cross-host traffic).
+        try:
+            import jax
+
+            if jax.process_count() > 1:
+                from .parallel.distributed import shard_files
+
+                inputs = shard_files(inputs)
+        except Exception:
+            pass
+
+        for input_path in inputs:
             if not input_path.is_file():
                 raise FileNotFound(str(input_path))
             dest_path = dest_dir / input_path.name
-            if dest_path.exists() and not args.overwrite:
+            if manifest is not None and manifest.is_done(input_path) \
+                    and dest_path.exists():
+                show_status(f"Skipping (already done): {input_path.name}")
+                continue
+            if dest_path.exists() and not (args.overwrite or args.resume):
                 raise FileExists(str(dest_path))
             if dest_path.exists():
                 os.remove(dest_path)
             metrics = process_file(input_path, dest_path, opts)
             _emit_metrics(metrics, dest_path, args)
+            if manifest is not None:
+                manifest.mark_done(input_path)
 
     else:
         raise UsageError("Invalid number of parameters. Need at least 2.")

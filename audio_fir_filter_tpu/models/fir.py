@@ -42,11 +42,11 @@ class FIRFilter:
         return self._design(fs)
 
     def plan(self, fs: float, precision: str = osv.HIGH,
-             block_size: int = 0) -> osv.OverlapSavePlan:
-        key = (fs, precision, block_size)
+             block_size: int = 0, engine: str = "pease") -> osv.OverlapSavePlan:
+        key = (fs, precision, block_size, engine)
         cache = object.__getattribute__(self, "__dict__").setdefault("_plans", {})
         if key not in cache:
-            cache[key] = osv.make_plan(self.taps(fs), precision, block_size)
+            cache[key] = osv.make_plan(self.taps(fs), precision, block_size, engine)
         return cache[key]
 
 

@@ -247,3 +247,200 @@ def rfft_multiply_irfft(blocks: jnp.ndarray, H, arith=ARITH_DF64) -> jnp.ndarray
     X = rfft(blocks, arith)
     Y = arith.mul(X, H)
     return irfft(Y, n, arith)
+
+
+# ------------------------------------------------------- constant geometry
+
+"""Constant-geometry (Pease) FFT path.
+
+The unrolled Stockham graph above compiles in minutes on the TPU backend
+(log2(n) distinct stage shapes; the persistent compilation cache cannot
+serialize this backend's executables, so every process pays it). The Pease
+formulation uses the IDENTICAL butterfly + interleave pattern every stage —
+expressible as a `lax.fori_loop` whose body is ONE stage with twiddles
+looked up from a precomputed [stages, n/2] table — cutting the graph (and
+compile time) by ~the stage count.
+
+Stage s (DIF): y[2j] = x[j] + x[j+n/2];  y[2j+1] = (x[j] - x[j+n/2]) * W_s[j]
+with W_s[j] = exp(-2*pi*i * (j >> s) * 2^s / n). The output is in a fixed
+permutation of the DFT — never materialized: the frequency response is
+transformed with the same permuted FFT on host (float64), the pointwise
+multiply happens in permuted order, and the inverse loop (conjugate
+twiddles, reversed stages, mirrored access) returns natural time order.
+Validated round-trip + convolution-vs-np.fft in tests.
+
+Real signals ride two-per-complex-FFT: convolution with a real kernel is
+real-linear, so conv(x1 + i*x2, h) = conv(x1, h) + i*conv(x2, h) — no
+untangle step at all.
+"""
+
+
+@functools.lru_cache(maxsize=64)
+def _pease_plan(n: int):
+    """Stage plan: one radix-2 stage first when log2(n) is odd, then
+    radix-4 stages. Returns (has_r2, tuple of per-r4-stage bit offsets)."""
+    L = n.bit_length() - 1
+    has_r2 = (L % 2 == 1)
+    done = 1 if has_r2 else 0
+    dones = []
+    while done < L:
+        dones.append(done)
+        done += 2
+    return has_r2, tuple(dones)
+
+
+@functools.lru_cache(maxsize=64)
+def _pease_tables_np(n: int):
+    """Host float64 twiddle tables: (w2 [n/2] | None, w4 [S, 3, n/4]).
+
+    A stage that begins with `done` input bits consumed uses
+    w_r[j] = exp(-2*pi*i * r * (j >> done) * 2^done / n).
+    """
+    has_r2, dones = _pease_plan(n)
+    w2 = None
+    if has_r2:
+        j = np.arange(n // 2)
+        w2 = np.exp(-2j * np.pi * (j >> 0) / n)
+    w4 = None
+    if dones:
+        j = np.arange(n // 4)
+        w4 = np.stack([
+            np.stack([
+                np.exp(-2j * np.pi * r * ((j >> d) << d) / n) for r in (1, 2, 3)
+            ])
+            for d in dones
+        ])
+    return w2, w4
+
+
+@functools.lru_cache(maxsize=64)
+def _pease_tables(n: int, arith_name: str):
+    arith = ARITH_F32 if arith_name == "f32" else ARITH_DF64
+    w2, w4 = _pease_tables_np(n)
+    return (None if w2 is None else arith.wrap_np(w2),
+            None if w4 is None else arith.wrap_np(w4))
+
+
+def pease_fft_np(x64: np.ndarray) -> np.ndarray:
+    """Host reference/driver: permuted-order FFT in float64 (for H tables).
+    Must mirror the device algorithm exactly (same stage order)."""
+    n = x64.shape[-1]
+    y = np.asarray(x64, complex).copy()
+    w2, w4 = _pease_tables_np(n)
+    has_r2, dones = _pease_plan(n)
+    if has_r2:
+        q = n // 2
+        a, b = y[..., :q], y[..., q:]
+        y = np.stack([a + b, (a - b) * w2], axis=-1).reshape(y.shape)
+    for s in range(len(dones)):
+        q = n // 4
+        a, b, c, d = y[..., :q], y[..., q:2*q], y[..., 2*q:3*q], y[..., 3*q:]
+        e0, e1, e2, e3 = a + c, a - c, b + d, -1j * (b - d)
+        y = np.stack([e0 + e2, (e1 + e3) * w4[s, 0], (e0 - e2) * w4[s, 1],
+                      (e1 - e3) * w4[s, 2]], axis=-1).reshape(y.shape)
+    return y
+
+
+def _index_stage(W, s):
+    return _tmap(lambda a: jax.lax.dynamic_index_in_dim(a, s, 0, keepdims=False), W)
+
+
+def _row(W, r):
+    return _tmap(lambda a: a[r], W)
+
+
+def fft_pease(z, n: int, arith=ARITH_DF64):
+    """Forward mixed-radix constant-geometry FFT (permuted output order)."""
+    w2, w4 = _pease_tables(n, arith.name)
+    has_r2, dones = _pease_plan(n)
+    batch = jax.tree.leaves(z)[0].shape[:-1]
+
+    if has_r2:
+        q = n // 2
+        a = _tmap(lambda t: t[..., :q], z)
+        b = _tmap(lambda t: t[..., q:], z)
+        even = arith.add(a, b)
+        odd = arith.mul(arith.sub(a, b), w2)
+        z = _tmap(lambda e, o: jnp.stack([e, o], axis=-1).reshape(batch + (n,)),
+                  even, odd)
+
+    if dones:
+        q = n // 4
+
+        def body(s, x):
+            ws = _index_stage(w4, s)  # [3, n/4]
+            a = _tmap(lambda t: t[..., :q], x)
+            b = _tmap(lambda t: t[..., q:2*q], x)
+            c = _tmap(lambda t: t[..., 2*q:3*q], x)
+            d = _tmap(lambda t: t[..., 3*q:], x)
+            e0, e1 = arith.add(a, c), arith.sub(a, c)
+            e2 = arith.add(b, d)
+            e3 = arith.mul_neg_i(arith.sub(b, d))
+            r0 = arith.add(e0, e2)
+            r1 = arith.mul(arith.add(e1, e3), _row(ws, 0))
+            r2 = arith.mul(arith.sub(e0, e2), _row(ws, 1))
+            r3 = arith.mul(arith.sub(e1, e3), _row(ws, 2))
+            return _tmap(
+                lambda p0, p1, p2, p3: jnp.stack(
+                    [p0, p1, p2, p3], axis=-1).reshape(batch + (n,)),
+                r0, r1, r2, r3,
+            )
+
+        z = jax.lax.fori_loop(0, len(dones), body, z)
+    return z
+
+
+def ifft_pease(y, n: int, arith=ARITH_DF64):
+    """Inverse of :func:`fft_pease` (consumes permuted order, natural out)."""
+    w2, w4 = _pease_tables(n, arith.name)
+    has_r2, dones = _pease_plan(n)
+    batch = jax.tree.leaves(y)[0].shape[:-1]
+
+    if dones:
+        q = n // 4
+        S = len(dones)
+
+        def body(i, x):
+            ws = _index_stage(w4, S - 1 - i)
+            v = _tmap(lambda t: t.reshape(batch + (q, 4)), x)
+            u0 = _tmap(lambda t: t[..., 0], v)
+            u1 = arith.mul(_tmap(lambda t: t[..., 1], v), arith.conj(_row(ws, 0)))
+            u2 = arith.mul(_tmap(lambda t: t[..., 2], v), arith.conj(_row(ws, 1)))
+            u3 = arith.mul(_tmap(lambda t: t[..., 3], v), arith.conj(_row(ws, 2)))
+            e0, e2m = arith.add(u0, u2), arith.sub(u0, u2)
+            e1, e3m = arith.add(u1, u3), arith.sub(u1, u3)
+            ie3m = arith.mul_neg_i(arith.mul_pow2(e3m, -1.0))  # i * e3m
+            return _tmap(
+                lambda p0, p1, p2, p3: jnp.concatenate(
+                    [p0, p1, p2, p3], axis=-1),
+                arith.add(e0, e1), arith.add(e2m, ie3m),
+                arith.sub(e0, e1), arith.sub(e2m, ie3m),
+            )
+
+        y = jax.lax.fori_loop(0, S, body, y)
+
+    if has_r2:
+        q = n // 2
+        v = _tmap(lambda t: t.reshape(batch + (q, 2)), y)
+        e = _tmap(lambda t: t[..., 0], v)
+        o = arith.mul(_tmap(lambda t: t[..., 1], v), arith.conj(w2))
+        y = _tmap(lambda p, qq: jnp.concatenate([p, qq], axis=-1),
+                  arith.add(e, o), arith.sub(e, o))
+
+    return arith.mul_pow2(y, 1.0 / n)
+
+
+def pease_conv_real_blocks(blocks: jnp.ndarray, Hp, arith=ARITH_DF64) -> jnp.ndarray:
+    """Circular convolution of real blocks with a real kernel, two blocks per
+    complex FFT: blocks [nb, B] float32 (nb even) -> [nb, B] float32.
+
+    ``Hp`` is the kernel's PERMUTED-order spectrum (host:
+    ``pease_fft_np(kernel_padded)``) in the arith's representation, [B].
+    """
+    nb, b = blocks.shape
+    z = arith.from_f32(blocks[0::2], blocks[1::2])  # [nb/2, B] complex
+    Z = fft_pease(z, b, arith)
+    Y = arith.mul(Z, Hp)
+    y = ifft_pease(Y, b, arith)
+    re, im = arith.to_f32(y)
+    return jnp.stack([re, im], axis=1).reshape(nb, b)

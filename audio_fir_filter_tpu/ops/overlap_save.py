@@ -72,14 +72,21 @@ def choose_block_size(num_taps: int, requested: int = 0,
 class OverlapSavePlan:
     """Static convolution plan: sizes + frequency-domain kernel.
 
-    ``H`` is rfft(reversed taps zero-padded to B), computed in float64 on
-    host. Fast path keeps it complex64; high path keeps a double-float
-    split of (re, im) as four float32 arrays.
+    ``H`` is the reversed, zero-padded kernel's PERMUTED-order spectrum
+    (fft_core.pease_fft_np, float64 on host), in the path's arithmetic:
+    C32 (fast) / CDF64 (high). The device convolution runs the
+    constant-geometry FFT whose natural spectral order is this permutation,
+    so no reordering ever happens on device.
     """
 
     num_taps: int          # T = M + 1
     block_size: int        # B (power of two)
     precision: str
+    # "pease": constant-geometry FFT in a fori_loop — ~5x faster compile
+    #   (fresh-process friendly; the persistent cache cannot serialize this
+    #   backend's executables). "stockham": unrolled autosort FFT — ~1.8x
+    #   faster steady-state, minutes of per-process compile.
+    engine: str = "pease"
     # Frequency response in the path's arithmetic: C32 (fast) / CDF64 (high).
     H: tuple | None = dataclasses.field(default=None, compare=False)
 
@@ -96,50 +103,76 @@ class OverlapSavePlan:
         return self.block_size - self.m
 
 
-def make_plan(taps: np.ndarray, precision: str = HIGH, block_size: int = 0) -> OverlapSavePlan:
+def make_plan(taps: np.ndarray, precision: str = HIGH, block_size: int = 0,
+              engine: str = "pease") -> OverlapSavePlan:
     taps = np.asarray(taps, dtype=np.float64)
     t = len(taps)
     if t % 2 != 1:
         raise ValueError("taps must have odd length (type-I linear phase)")
     b = choose_block_size(t, block_size)
-    hr = taps[::-1]
-    H64 = np.fft.rfft(hr, b)  # complex128 on host (design stays f64)
-    if precision == FAST:
-        H = ARITH_F32.wrap_np(H64)
-        return OverlapSavePlan(t, b, FAST, H=jax.tree.map(jnp.asarray, H))
-    if precision == HIGH:
-        H = ARITH_DF64.wrap_np(H64)
-        return OverlapSavePlan(t, b, HIGH, H=jax.tree.map(jnp.asarray, H))
-    raise ValueError(f"unknown precision {precision!r} (use 'fast' or 'high')")
+    arith = {FAST: ARITH_F32, HIGH: ARITH_DF64}.get(precision)
+    if arith is None:
+        raise ValueError(f"unknown precision {precision!r} (use 'fast' or 'high')")
+    hr = np.zeros(b, dtype=np.float64)
+    hr[:t] = taps[::-1]
+    if engine == "pease":
+        H64 = fft_core.pease_fft_np(hr)       # permuted-order spectrum
+    elif engine == "stockham":
+        H64 = np.fft.rfft(hr)                  # natural-order rfft spectrum
+    else:
+        raise ValueError(f"unknown engine {engine!r} (use 'pease' or 'stockham')")
+    H = jax.tree.map(jnp.asarray, arith.wrap_np(H64))
+    return OverlapSavePlan(t, b, precision, engine, H=H)
 
 
 # ----------------------------------------------------------------- core math
 
 def _blocks_from_padded(xp: jax.Array, nb: int, hop: int, b: int) -> jax.Array:
-    """Gather overlapped blocks [nb, B] from the padded 1-D signal."""
-    starts = jnp.arange(nb) * hop
-    return jax.vmap(lambda s: jax.lax.dynamic_slice(xp, (s,), (b,)))(starts)
+    """Overlapped blocks [nb, B] (block j = xp[j*hop : j*hop + B]) from the
+    padded 1-D signal, using only reshapes/slices/concat.
+
+    A vmap(dynamic_slice) gather is pathologically slow on TPU; instead the
+    overlapped view is assembled from k = ceil(B/hop) contiguous reshaped
+    copies shifted by one hop each:  part_k[j] = xp[(j+k)*hop : (j+k+1)*hop],
+    so concat(parts, axis=1)[:, :B] == blocks. Each part is a pure reshape
+    of a contiguous slice — XLA compiles this to plain copies.
+
+    Requires len(xp) >= (nb + k - 1) * hop (callers pad to this).
+    """
+    k = -(-b // hop)  # ceil
+    parts = [
+        xp[i * hop : (i + nb) * hop].reshape(nb, hop) for i in range(k)
+    ]
+    return jnp.concatenate(parts, axis=1)[:, :b] if k > 1 else parts[0][:, :b]
 
 
-def _filter_blocks(blocks: jax.Array, H, m: int, precision: str) -> jax.Array:
-    """[.., B] blocks -> [.., L] valid outputs (FFT . *H . iFFT, slice)."""
+def _filter_blocks(blocks: jax.Array, H, m: int, precision: str,
+                   engine: str) -> jax.Array:
+    """[nb(even), B] blocks -> [nb, L] valid outputs (FFT . *H . iFFT, slice)."""
     arith = ARITH_F32 if precision == FAST else ARITH_DF64
-    y = fft_core.rfft_multiply_irfft(blocks, H, arith)
+    if engine == "pease":
+        y = fft_core.pease_conv_real_blocks(blocks, H, arith)
+    else:
+        y = fft_core.rfft_multiply_irfft(blocks, H, arith)
     return y[..., m:]
 
 
 def _same_filter_impl(x: jax.Array, plan_static: tuple, H) -> jax.Array:
     """Zero-padded 'same' filtering of [C, N] (N static). Core jit body."""
-    t, b, precision = plan_static
+    t, b, precision, engine = plan_static
     m, mo2, hop = t - 1, (t - 1) // 2, b - (t - 1)
     c, n = x.shape
     nb = -(-n // hop)  # ceil
-    pad_right = nb * hop + m - mo2 - n
+    nb += nb & 1  # even block count: two real blocks per complex FFT
+    # Pad so the reshape-based blocking can take k = ceil(B/hop) shifted
+    # contiguous views: len(xp) = (nb + k - 1) * hop >= nb*hop + m.
+    k = -(-b // hop)
+    pad_right = (nb + k - 1) * hop - mo2 - n
     xp = jnp.pad(x, ((0, 0), (mo2, pad_right)))
 
     def per_channel(xc):
         blocks = _blocks_from_padded(xc, nb, hop, b)
-        yb = _filter_blocks(blocks, H, m, precision)
+        yb = _filter_blocks(blocks, H, m, precision, engine)
         return yb.reshape(nb * hop)[:n]
 
     return jax.vmap(per_channel)(xp)
@@ -156,7 +189,8 @@ def same_filter(x, plan: OverlapSavePlan) -> jax.Array:
     squeeze = x.ndim == 1
     if squeeze:
         x = x[None, :]
-    y = _same_filter_jit(x, (plan.num_taps, plan.block_size, plan.precision), plan.H)
+    y = _same_filter_jit(
+        x, (plan.num_taps, plan.block_size, plan.precision, plan.engine), plan.H)
     return y[0] if squeeze else y
 
 
@@ -171,6 +205,7 @@ def extended_filter(xe, plan: OverlapSavePlan, out_len: int) -> jax.Array:
     squeeze = xe.ndim == 1
     if squeeze:
         xe = xe[None, :]
-    y = _same_filter_jit(xe, (plan.num_taps, plan.block_size, plan.precision), plan.H)
+    y = _same_filter_jit(
+        xe, (plan.num_taps, plan.block_size, plan.precision, plan.engine), plan.H)
     y = y[:, plan.mo2 : plan.mo2 + out_len]
     return y[0] if squeeze else y

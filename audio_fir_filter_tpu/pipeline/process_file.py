@@ -61,25 +61,44 @@ def process_file(input_path, output_path, opts: FilterOptions,
     show_status("Creating sinc kernel for this file's sample rate.")
     t0 = time.perf_counter()
     model = LowCut(freq=opts.freq, slope=opts.slope)
-    plan = model.plan(fs, precision=opts.precision, block_size=opts.block_size)
+    plan = model.plan(fs, precision=opts.precision, block_size=opts.block_size,
+                      engine=getattr(opts, "engine", "pease"))
     t["design"] = time.perf_counter() - t0
 
     show_status("Filtering.")
     total = data.num_frames * data.num_channels
     bar = ProgressBar(total, enabled=show_progress and sys.stdout.isatty())
     t0 = time.perf_counter()
-    filtered = filter_array_streamed(data.samples, plan, progress_cb=bar.update)
-    t["filter"] = time.perf_counter() - t0
-    bar.final()
+    if opts.mesh_shape is not None:
+        # Multi-device path: time/channel-sharded convolution with fused
+        # pmax normalization (parallel/sharded_conv.py).
+        from ..parallel import make_mesh, sharded_filter_padded
 
-    # Normalize if any channel exceeds full scale, or on explicit request
-    # (ProcessFile.cp:92-101: one global peak, one common factor).
-    t0 = time.perf_counter()
-    max_mag = float(np.max(np.abs(filtered))) if filtered.size else 0.0
-    if max_mag > 1.0 or opts.normalize:
-        show_status("Doing audio normalize.")
-        filtered = audio.normalize(filtered)
-    t["normalize"] = time.perf_counter() - t0
+        mesh = make_mesh(tuple(opts.mesh_shape))
+        y, peak = sharded_filter_padded(
+            data.samples, plan, mesh, normalize=opts.normalize)
+        filtered = np.asarray(y)
+        max_mag = float(peak)
+        bar.update(total)
+        t["filter"] = time.perf_counter() - t0
+        bar.final()
+        t0 = time.perf_counter()
+        if max_mag > 1.0 or opts.normalize:
+            show_status("Doing audio normalize.")  # already fused on device
+        t["normalize"] = time.perf_counter() - t0
+    else:
+        filtered = filter_array_streamed(data.samples, plan, progress_cb=bar.update)
+        t["filter"] = time.perf_counter() - t0
+        bar.final()
+
+        # Normalize if any channel exceeds full scale, or on explicit request
+        # (ProcessFile.cp:92-101: one global peak, one common factor).
+        t0 = time.perf_counter()
+        max_mag = float(np.max(np.abs(filtered))) if filtered.size else 0.0
+        if max_mag > 1.0 or opts.normalize:
+            show_status("Doing audio normalize.")
+            filtered = audio.normalize(filtered)
+        t["normalize"] = time.perf_counter() - t0
 
     show_status("Writing output file.")
     t0 = time.perf_counter()

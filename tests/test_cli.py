@@ -149,3 +149,52 @@ def test_subprocess_entry_point(tmp_path):
     )
     assert r.returncode == 0
     assert "lowcut" in r.stdout
+
+
+def test_mesh_flag_cpu_8dev(tmp_path):
+    """--mesh 1x8 drives the sharded path on the virtual CPU mesh."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    p = wav(tmp_path, "m.wav", frames=4000)
+    out = tmp_path / "mo.wav"
+    assert main([str(p), str(out), "--mesh", "1x8", *FAST]) == 0
+    assert out.exists()
+    ref_out = tmp_path / "ref.wav"
+    assert main([str(p), str(ref_out), *FAST]) == 0
+    a = audio.read_audio(out).samples
+    b = audio.read_audio(ref_out).samples
+    np.testing.assert_allclose(a, b, atol=4 / 32768)
+
+
+def test_mesh_flag_bad_spec(tmp_path, capsys):
+    p = wav(tmp_path, "m2.wav")
+    assert main([str(p), str(tmp_path / "o.wav"), "--mesh", "banana"]) == 1
+    assert "--mesh expects" in capsys.readouterr().err
+
+
+def test_batch_resume_skips_completed(tmp_path, capsys):
+    """--resume: manifest-marked files are skipped on re-run (SURVEY §5)."""
+    a = wav(tmp_path, "a.wav")
+    b = wav(tmp_path, "b.wav")
+    dest = tmp_path / "outdir"
+    assert main([str(a), str(b), str(dest), "--resume", *FAST]) == 0
+    mtime_a = (dest / "a.wav").stat().st_mtime_ns
+    capsys.readouterr()
+    assert main([str(a), str(b), str(dest), "--resume", "-v", *FAST]) == 0
+    out = capsys.readouterr().out
+    assert out.count("Skipping (already done)") == 2
+    assert (dest / "a.wav").stat().st_mtime_ns == mtime_a  # untouched
+
+
+def test_batch_resume_reprocesses_on_changed_options(tmp_path):
+    a = wav(tmp_path, "a.wav")
+    b = wav(tmp_path, "b.wav")
+    dest = tmp_path / "outdir2"
+    assert main([str(a), str(b), str(dest), "--resume", *FAST]) == 0
+    mtime_a = (dest / "a.wav").stat().st_mtime_ns
+    # different cutoff -> fingerprint mismatch -> reprocess
+    args = [x for x in FAST]
+    args[args.index("-f") + 1] = "150"
+    assert main([str(a), str(b), str(dest), "--resume", *args]) == 0
+    assert (dest / "a.wav").stat().st_mtime_ns != mtime_a

@@ -115,3 +115,38 @@ def test_rfft_multiply_irfft_convolution_accuracy():
     # must be at float32-cast accuracy: the df64 pipeline error is far below
     # the final f32 rounding of the output.
     assert np.max(np.abs(got - want)) < scale * 2**-22
+
+
+# ---------------------------------------------------- constant-geometry FFT
+
+@pytest.mark.parametrize("n", [64, 4096])
+@pytest.mark.parametrize("arith_name", ["f32", "df64"])
+def test_pease_roundtrip_and_convolution(n, arith_name):
+    from audio_fir_filter_tpu.ops import fft_core
+
+    arith = fft_core.ARITH_F32 if arith_name == "f32" else fft_core.ARITH_DF64
+    rng = np.random.default_rng(21)
+    x1 = rng.uniform(-1, 1, n).astype(np.float32)
+    x2 = rng.uniform(-1, 1, n).astype(np.float32)
+    h = rng.standard_normal(n) * np.exp(-np.arange(n) / 40.0)
+    Hp = jax.tree.map(jnp.asarray, arith.wrap_np(fft_core.pease_fft_np(h)))
+    blocks = jnp.asarray(np.stack([x1, x2]))
+    got = np.asarray(jax.jit(
+        lambda b: fft_core.pease_conv_real_blocks(b, Hp, arith))(blocks))
+    for xi, gi in ((x1, got[0]), (x2, got[1])):
+        want = np.fft.irfft(np.fft.rfft(xi.astype(np.float64)) * np.fft.rfft(h), n)
+        scale = np.max(np.abs(want))
+        tol = scale * (2 ** -18 if arith_name == "f32" else 2 ** -21)
+        assert np.max(np.abs(gi - want)) < tol
+
+
+def test_pease_fft_np_is_permuted_dft():
+    """Host pease_fft_np output is a fixed permutation of np.fft.fft."""
+    from audio_fir_filter_tpu.ops import fft_core
+
+    n = 256
+    rng = np.random.default_rng(5)
+    z = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    got = np.sort_complex(np.round(fft_core.pease_fft_np(z), 6))
+    want = np.sort_complex(np.round(np.fft.fft(z), 6))
+    np.testing.assert_allclose(got, want, atol=1e-5)

@@ -1,0 +1,85 @@
+"""Multi-host runtime tests (SURVEY.md §4.3: multi-host via spawning
+jax.distributed processes locally).
+
+Spawns two real CPU-backend JAX processes with a local coordinator and
+asserts (a) the distributed runtime initializes, (b) batch file sharding is
+a disjoint exact cover, (c) each process filters its own subset end-to-end
+(the multi-host batch mode of BASELINE config 4).
+"""
+
+import json
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+from audio_fir_filter_tpu.audio import Encoding
+from audio_fir_filter_tpu.audio.synth import create_audio_file
+from audio_fir_filter_tpu.parallel.distributed import shard_files
+
+WORKER = textwrap.dedent("""
+    import json, sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}", num_processes=nproc, process_id=pid)
+    sys.path.insert(0, "/root/repo")
+    from audio_fir_filter_tpu.parallel.distributed import process_info, shard_files
+    from audio_fir_filter_tpu.pipeline import process_file
+    from audio_fir_filter_tpu.utils.options import FilterOptions
+    idx, count = process_info()
+    files = json.loads(sys.argv[4])
+    mine = shard_files(files)
+    opts = FilterOptions(freq=100.0, slope=200.0, precision="fast", block_size=1024)
+    outdir = sys.argv[5]
+    for f in mine:
+        name = f.rsplit("/", 1)[-1]
+        process_file(f, f"{outdir}/{name}", opts, show_progress=False)
+    print(json.dumps({"pid": idx, "count": count, "mine": mine}))
+""")
+
+
+def test_shard_files_disjoint_cover():
+    paths = [f"f{i}.wav" for i in range(10)]
+    a = shard_files(paths, 0, 3)
+    b = shard_files(paths, 1, 3)
+    c = shard_files(paths, 2, 3)
+    assert sorted(a + b + c) == sorted(paths)
+    assert not (set(a) & set(b)) and not (set(b) & set(c))
+
+
+@pytest.mark.slow
+def test_two_process_batch(tmp_path):
+    rng = np.random.default_rng(0)
+    files = []
+    for i in range(4):
+        p = tmp_path / f"in{i}.wav"
+        x = rng.uniform(-0.5, 0.5, (1, 2000)).astype(np.float32)
+        create_audio_file(p, x, 8000.0, encoding=Encoding.PCM_16)
+        files.append(str(p))
+    outdir = tmp_path / "out"
+    outdir.mkdir()
+    port = "52923"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER, str(pid), "2", port,
+             json.dumps(files), str(outdir)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd="/root/repo",
+        )
+        for pid in range(2)
+    ]
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=180)
+        assert p.returncode == 0, f"worker failed: {err[-800:]}"
+        results.append(json.loads(out.strip().splitlines()[-1]))
+    assert {r["pid"] for r in results} == {0, 1}
+    assert all(r["count"] == 2 for r in results)
+    done = sorted(sum((r["mine"] for r in results), []))
+    assert done == sorted(files)  # disjoint cover across real processes
+    for f in files:
+        assert (outdir / f.rsplit("/", 1)[-1]).exists()

@@ -118,3 +118,13 @@ def test_sine_passband_and_stopband():
     y_hig = np.asarray(osv.same_filter(hig, plan))[ws.num_taps : -ws.num_taps]
     assert np.max(np.abs(y_low)) < 1e-3
     assert np.max(np.abs(y_hig - hig[ws.num_taps : -ws.num_taps])) < 1e-2
+
+
+@pytest.mark.parametrize("engine", ["pease", "stockham"])
+def test_engines_match_oracle(engine):
+    """Both FFT engines implement identical semantics."""
+    x, ws = make_case(n=6000, seed=9)
+    plan = osv.make_plan(ws.taps, precision=osv.HIGH, block_size=1024, engine=engine)
+    y = np.asarray(osv.same_filter(x, plan))
+    ref = oracle.direct_filter(x, ws.taps)
+    assert oracle.max_lsb_error(y, ref, bits=24) <= high_tol_lsb24()

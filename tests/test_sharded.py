@@ -1,0 +1,97 @@
+"""Sequence-parallel (sharded) convolution tests on a virtual 8-device CPU
+mesh (SURVEY.md §4.3: distributed tests without a pod).
+
+Core assertion: time-sharded result with ppermute halo exchange == the
+single-device engine result (which itself matches the f64 oracle), for
+meshes that exercise 1, 4, and 8 time shards and a (2, 4) data x time mesh.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from audio_fir_filter_tpu.ops import kernel_design as kd
+from audio_fir_filter_tpu.ops import oracle
+from audio_fir_filter_tpu.ops import overlap_save as osv
+from audio_fir_filter_tpu.parallel import make_mesh, sharded_filter, sharded_filter_padded
+
+from util import high_tol_lsb24
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def make_case(n, channels=2, bw=0.02, fc=0.05, seed=0):
+    ws = kd.WindowedSinc(fc, bw).make_low_cut()  # T=201
+    rng = np.random.default_rng(seed)
+    x = (0.4 * rng.uniform(-1, 1, (channels, n))).astype(np.float32)  # keep filtered peak < 1 (no auto-normalize)
+    plan = osv.make_plan(ws.taps, precision=osv.HIGH, block_size=1024)
+    return x, ws, plan
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 1), (1, 4), (1, 8), (2, 4)])
+def test_sharded_matches_single_device(mesh_shape):
+    x, ws, plan = make_case(n=8000)
+    mesh = make_mesh(mesh_shape)
+    y, peak = sharded_filter(x, plan, mesh)
+    ref = np.asarray(osv.same_filter(x, plan))
+    # sharded vs serial: same math, different block alignment per shard ->
+    # equality at the quantization level.
+    assert oracle.max_lsb_error(np.asarray(y), ref, bits=24) <= 2 * high_tol_lsb24()
+    assert np.isclose(float(peak), np.max(np.abs(ref)), rtol=1e-5)
+
+
+def test_sharded_matches_oracle_exact_semantics():
+    """Halo exchange must reproduce zero-pad edges only at global edges."""
+    x, ws, plan = make_case(n=4000, channels=1)
+    mesh = make_mesh((1, 8))  # shard length 500 << kernel span tests halos hard
+    y, _ = sharded_filter(x, plan, mesh)
+    ref = oracle.direct_filter(x[0], ws.taps)
+    assert oracle.max_lsb_error(np.asarray(y)[0], ref, bits=24) <= 2 * high_tol_lsb24()
+
+
+def test_shard_smaller_than_halo_rejected_or_correct():
+    """Shards shorter than Mo2: ppermute only reaches direct neighbors, so
+    this would be silently wrong — the API must refuse or be correct."""
+    x, ws, plan = make_case(n=160, channels=1)  # shard len 20 < Mo2=100
+    mesh = make_mesh((1, 8))
+    try:
+        y, _ = sharded_filter(x, plan, mesh)
+    except ValueError:
+        return  # refusing is acceptable
+    ref = oracle.direct_filter(x[0], ws.taps)
+    assert oracle.max_lsb_error(np.asarray(y)[0], ref, bits=24) <= 2 * high_tol_lsb24()
+
+
+def test_sharded_padded_arbitrary_shapes():
+    x, ws, plan = make_case(n=7777, channels=3)
+    mesh = make_mesh((2, 4))
+    y, _ = sharded_filter_padded(x, plan, mesh)
+    assert np.asarray(y).shape == (3, 7777)
+    ref = np.asarray(osv.same_filter(x, plan))
+    assert oracle.max_lsb_error(np.asarray(y), ref, bits=24) <= 2 * high_tol_lsb24()
+
+
+def test_sharded_normalize_fused():
+    x, ws, plan = make_case(n=8000, seed=5)
+    x *= 0.1
+    mesh = make_mesh((1, 8))
+    y, peak = sharded_filter(x, plan, mesh, normalize=True)
+    y = np.asarray(y)
+    assert np.isclose(np.max(np.abs(y)), 1.0, atol=1e-5)
+    # common factor: ratios preserved vs unnormalized
+    y0, _ = sharded_filter(x, plan, mesh, normalize=False)
+    ratio = np.asarray(y0) / np.maximum(np.abs(y), 1e-12) / np.sign(y + (y == 0))
+    # just check the scale is uniform where signal is significant
+    mask = np.abs(y) > 1e-2
+    scales = np.asarray(y0)[mask] / y[mask]
+    assert np.allclose(scales, scales.flat[0], rtol=1e-4)
+
+
+def test_sharded_indivisible_raises():
+    x, ws, plan = make_case(n=8001)
+    mesh = make_mesh((1, 8))
+    with pytest.raises(ValueError):
+        sharded_filter(x, plan, mesh)
