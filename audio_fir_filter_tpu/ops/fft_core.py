@@ -430,6 +430,214 @@ def ifft_pease(y, n: int, arith=ARITH_DF64):
     return arith.mul_pow2(y, 1.0 / n)
 
 
+# ------------------------------------------------------ four-step (2-D) FFT
+
+"""Four-step constant-geometry FFT — the production engine.
+
+Measured on TPU v5e (experiments/fft_micro.py): the 1-D Pease loop spends
+~60% of its time in the granularity-1 stack+reshape interleave each stage —
+a lane-crossing relayout the VPU executes element by element. The four-step
+factorization B = R*C eliminates it: every butterfly runs along the
+SUBLANE axis (axis -2) of a [R, C] / [C, R] view, so each stage's
+interleave moves whole lane-aligned rows (cheap sublane copies), and the
+only lane-crossing operation in the entire transform is ONE transpose.
+Measured end-to-end conv speedup vs the 1-D loop: 4.7x (df64), 9.5x (f32).
+
+Decomposition (n = C*n1 + n2, k = k1 + R*k2):
+  phase 1  DFT_R over n1: Pease stages along axis -2 of [R, C]
+           -> rows in the fixed Pease permutation sigma_R
+  twiddle  T[i, n2] = W_B^(sigma_R(i) * n2)
+  swap     [R, C] -> [C, R]
+  phase 2  DFT_C over n2: same row-axis Pease stages
+Output layout Y[j, i] = X[sigma_R(i) + R*sigma_C(j)] — a fixed permutation
+that is never materialized: H is transformed into the same layout on host
+(float64, :func:`fourstep_fft_np`), the spectral multiply happens in that
+layout, and the inverse (conjugate twiddles, reversed stages) returns
+natural time order.
+"""
+
+
+def fourstep_split(n: int) -> tuple[int, int]:
+    """Balanced power-of-two factorization n = R*C with R >= C (R is the
+    lane-batch width of phase 2, C of phase 1)."""
+    lb = n.bit_length() - 1
+    c = 1 << (lb // 2)
+    return n // c, c
+
+
+@functools.lru_cache(maxsize=32)
+def pease_sigma(n: int) -> np.ndarray:
+    """Permutation sigma with pease_fft_np(x)[i] == DFT(x)[sigma(i)].
+
+    Recovered analytically: for x = delta_1, DFT(x)[k] = W_n^k, so the bin
+    index is read off each output's phase. Exact for any practical n (bin
+    phases are separated by 2*pi/n >> float64 angle error)."""
+    x = np.zeros(n)
+    if n > 1:
+        x[1] = 1.0
+        y = pease_fft_np(x)
+        sig = np.round(-np.angle(y) * n / (2 * np.pi)).astype(np.int64) % n
+    else:
+        sig = np.zeros(1, np.int64)
+    assert len(np.unique(sig)) == n
+    return sig
+
+
+@functools.lru_cache(maxsize=16)
+def _fourstep_twiddle_np(r: int, c: int) -> np.ndarray:
+    """T[i, n2] = W_(r*c)^(sigma_r(i) * n2) — phase-1-output-ordered rows."""
+    sig = pease_sigma(r)
+    i = sig[:, None].astype(np.float64)
+    n2 = np.arange(c, dtype=np.float64)[None, :]
+    return np.exp(-2j * np.pi * i * n2 / (r * c))
+
+
+def fourstep_fft_np(x64: np.ndarray, r: int, c: int) -> np.ndarray:
+    """Host float64 mirror of the device four-step: [.., r*c] -> [.., c, r]
+    in the device's exact output layout (for H tables and tests)."""
+    a = np.asarray(x64, complex).reshape(x64.shape[:-1] + (r, c))
+    ahat = np.swapaxes(pease_fft_np(np.swapaxes(a, -1, -2)), -1, -2)
+    m = ahat * _fourstep_twiddle_np(r, c)
+    return np.swapaxes(pease_fft_np(m), -1, -2)
+
+
+@functools.lru_cache(maxsize=64)
+def _pease_tables_rows(n: int, arith_name: str):
+    """Row-axis twiddles, shaped [.., q, 1] to broadcast over the lane batch."""
+    arith = ARITH_F32 if arith_name == "f32" else ARITH_DF64
+    w2, w4 = _pease_tables_np(n)
+    return (None if w2 is None else arith.wrap_np(w2[:, None]),
+            None if w4 is None else arith.wrap_np(w4[..., None]))
+
+
+@functools.lru_cache(maxsize=16)
+def _fourstep_twiddle(r: int, c: int, arith_name: str):
+    arith = ARITH_F32 if arith_name == "f32" else ARITH_DF64
+    return arith.wrap_np(_fourstep_twiddle_np(r, c))
+
+
+def fft_pease_rows(z, n: int, arith=ARITH_DF64):
+    """Pease FFT along axis -2 of [..., n, V] (permuted row order out)."""
+    w2, w4 = _pease_tables_rows(n, arith.name)
+    has_r2, dones = _pease_plan(n)
+
+    def _shp(t):
+        return t.shape[:-2] + (n, t.shape[-1])
+
+    if has_r2:
+        q = n // 2
+        a = _tmap(lambda t: t[..., :q, :], z)
+        b = _tmap(lambda t: t[..., q:, :], z)
+        even = arith.add(a, b)
+        odd = arith.mul(arith.sub(a, b), w2)
+        z = _tmap(lambda e, o: jnp.stack([e, o], axis=-2).reshape(_shp(e)),
+                  even, odd)
+
+    if dones:
+        q = n // 4
+
+        def body(s, x):
+            ws = _index_stage(w4, s)  # [3, q, 1]
+            a = _tmap(lambda t: t[..., 0 * q : 1 * q, :], x)
+            b = _tmap(lambda t: t[..., 1 * q : 2 * q, :], x)
+            c_ = _tmap(lambda t: t[..., 2 * q : 3 * q, :], x)
+            d = _tmap(lambda t: t[..., 3 * q : 4 * q, :], x)
+            e0, e1 = arith.add(a, c_), arith.sub(a, c_)
+            e2 = arith.add(b, d)
+            e3 = arith.mul_neg_i(arith.sub(b, d))
+            r0 = arith.add(e0, e2)
+            r1 = arith.mul(arith.add(e1, e3), _row(ws, 0))
+            r2 = arith.mul(arith.sub(e0, e2), _row(ws, 1))
+            r3 = arith.mul(arith.sub(e1, e3), _row(ws, 2))
+            return _tmap(
+                lambda p0, p1, p2, p3: jnp.stack(
+                    [p0, p1, p2, p3], axis=-2).reshape(_shp(p0)),
+                r0, r1, r2, r3)
+
+        z = jax.lax.fori_loop(0, len(dones), body, z)
+    return z
+
+
+def ifft_pease_rows(y, n: int, arith=ARITH_DF64):
+    """Inverse of :func:`fft_pease_rows` (permuted rows in, natural out)."""
+    w2, w4 = _pease_tables_rows(n, arith.name)
+    has_r2, dones = _pease_plan(n)
+
+    if dones:
+        q = n // 4
+        S = len(dones)
+
+        def body(i, x):
+            ws = _index_stage(w4, S - 1 - i)
+            v = _tmap(
+                lambda t: t.reshape(t.shape[:-2] + (q, 4, t.shape[-1])), x)
+            u0 = _tmap(lambda t: t[..., 0, :], v)
+            u1 = arith.mul(_tmap(lambda t: t[..., 1, :], v),
+                           arith.conj(_row(ws, 0)))
+            u2 = arith.mul(_tmap(lambda t: t[..., 2, :], v),
+                           arith.conj(_row(ws, 1)))
+            u3 = arith.mul(_tmap(lambda t: t[..., 3, :], v),
+                           arith.conj(_row(ws, 2)))
+            e0, e2m = arith.add(u0, u2), arith.sub(u0, u2)
+            e1, e3m = arith.add(u1, u3), arith.sub(u1, u3)
+            ie3m = arith.mul_neg_i(arith.mul_pow2(e3m, -1.0))  # i * e3m
+            return _tmap(
+                lambda p0, p1, p2, p3: jnp.concatenate(
+                    [p0, p1, p2, p3], axis=-2),
+                arith.add(e0, e1), arith.add(e2m, ie3m),
+                arith.sub(e0, e1), arith.sub(e2m, ie3m))
+
+        y = jax.lax.fori_loop(0, S, body, y)
+
+    if has_r2:
+        q = n // 2
+        v = _tmap(lambda t: t.reshape(t.shape[:-2] + (q, 2, t.shape[-1])), y)
+        e = _tmap(lambda t: t[..., 0, :], v)
+        o = arith.mul(_tmap(lambda t: t[..., 1, :], v), arith.conj(w2))
+        y = _tmap(lambda p, qq: jnp.concatenate([p, qq], axis=-2),
+                  arith.add(e, o), arith.sub(e, o))
+
+    return arith.mul_pow2(y, 1.0 / n)
+
+
+def fft_fourstep(z, n: int, arith=ARITH_DF64):
+    """[.., n] complex -> [.., C, R] spectrum in the four-step layout."""
+    r, c = fourstep_split(n)
+    z = _tmap(lambda t: t.reshape(t.shape[:-1] + (r, c)), z)
+    z = fft_pease_rows(z, r, arith)
+    z = arith.mul(z, _fourstep_twiddle(r, c, arith.name))
+    z = _tmap(lambda t: jnp.swapaxes(t, -1, -2), z)
+    return fft_pease_rows(z, c, arith)
+
+
+def ifft_fourstep(y, n: int, arith=ARITH_DF64):
+    """[.., C, R] four-step-layout spectrum -> [.., n] natural complex."""
+    r, c = fourstep_split(n)
+    y = ifft_pease_rows(y, c, arith)
+    y = _tmap(lambda t: jnp.swapaxes(t, -1, -2), y)
+    y = arith.mul(y, arith.conj(_fourstep_twiddle(r, c, arith.name)))
+    y = ifft_pease_rows(y, r, arith)
+    return _tmap(lambda t: t.reshape(t.shape[:-2] + (r * c,)), y)
+
+
+def fourstep_conv_real_blocks(blocks: jnp.ndarray, H2,
+                              arith=ARITH_DF64) -> jnp.ndarray:
+    """Circular convolution of real blocks with a real kernel, two blocks
+    per complex FFT (same contract as :func:`pease_conv_real_blocks`).
+
+    ``H2`` is the kernel's four-step-layout spectrum (host:
+    ``fourstep_fft_np(kernel_padded, R, C)``), [C, R] in the arith's
+    representation.
+    """
+    nb, b = blocks.shape
+    z = arith.from_f32(blocks[0::2], blocks[1::2])  # [nb/2, B] complex
+    Z = fft_fourstep(z, b, arith)
+    Y = arith.mul(Z, H2)
+    y = ifft_fourstep(Y, b, arith)
+    re, im = arith.to_f32(y)
+    return jnp.stack([re, im], axis=1).reshape(nb, b)
+
+
 def pease_conv_real_blocks(blocks: jnp.ndarray, Hp, arith=ARITH_DF64) -> jnp.ndarray:
     """Circular convolution of real blocks with a real kernel, two blocks per
     complex FFT: blocks [nb, B] float32 (nb even) -> [nb, B] float32.

@@ -115,9 +115,7 @@ def sharded_filter(
             f"time shard length {n // t} is shorter than the half-kernel "
             f"Mo2={plan.mo2}; use fewer time shards for this signal")
     flag = jnp.asarray(normalize)
-    y, peak = _sharded_filter_jit(
-        x, (plan.num_taps, plan.block_size, plan.precision, plan.engine),
-        plan.H, flag, mesh)
+    y, peak = _sharded_filter_jit(x, plan.static, plan.H, flag, mesh)
     return y, peak
 
 

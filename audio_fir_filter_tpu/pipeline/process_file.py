@@ -62,7 +62,7 @@ def process_file(input_path, output_path, opts: FilterOptions,
     t0 = time.perf_counter()
     model = LowCut(freq=opts.freq, slope=opts.slope)
     plan = model.plan(fs, precision=opts.precision, block_size=opts.block_size,
-                      engine=getattr(opts, "engine", "pease"))
+                      engine=getattr(opts, "engine", "fourstep"))
     t["design"] = time.perf_counter() - t0
 
     show_status("Filtering.")

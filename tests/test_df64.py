@@ -150,3 +150,54 @@ def test_pease_fft_np_is_permuted_dft():
     got = np.sort_complex(np.round(fft_core.pease_fft_np(z), 6))
     want = np.sort_complex(np.round(np.fft.fft(z), 6))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+# ------------------------------------------------------------ four-step FFT
+
+def test_pease_sigma_is_exact_permutation():
+    """sigma satisfies pease_fft_np(x)[i] == DFT(x)[sigma(i)] on random data."""
+    from audio_fir_filter_tpu.ops import fft_core
+
+    for n in (8, 64, 2048):
+        sig = fft_core.pease_sigma(n)
+        rng = np.random.default_rng(n)
+        z = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        np.testing.assert_allclose(
+            fft_core.pease_fft_np(z), np.fft.fft(z)[sig], rtol=1e-9, atol=1e-9)
+
+
+def test_fourstep_fft_np_matches_dft_layout():
+    """Host four-step mirror == DFT re-indexed by (sigma_R, sigma_C)."""
+    from audio_fir_filter_tpu.ops import fft_core
+
+    n = 512
+    r, c = fft_core.fourstep_split(n)
+    rng = np.random.default_rng(9)
+    z = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    got = fft_core.fourstep_fft_np(z, r, c)  # [c, r]: Y[j,i]=X[sR(i)+r*sC(j)]
+    X = np.fft.fft(z)
+    sr, sc = fft_core.pease_sigma(r), fft_core.pease_sigma(c)
+    want = X[sr[None, :] + r * sc[:, None]]
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-7)
+
+
+@pytest.mark.parametrize("n", [64, 512, 4096])
+@pytest.mark.parametrize("arith_name", ["f32", "df64"])
+def test_fourstep_roundtrip_and_convolution(n, arith_name):
+    from audio_fir_filter_tpu.ops import fft_core
+
+    arith = fft_core.ARITH_F32 if arith_name == "f32" else fft_core.ARITH_DF64
+    rng = np.random.default_rng(22)
+    x1 = rng.uniform(-1, 1, n).astype(np.float32)
+    x2 = rng.uniform(-1, 1, n).astype(np.float32)
+    h = rng.standard_normal(n) * np.exp(-np.arange(n) / 40.0)
+    H2 = jax.tree.map(jnp.asarray, arith.wrap_np(
+        fft_core.fourstep_fft_np(h, *fft_core.fourstep_split(n))))
+    blocks = jnp.asarray(np.stack([x1, x2]))
+    got = np.asarray(jax.jit(
+        lambda b: fft_core.fourstep_conv_real_blocks(b, H2, arith))(blocks))
+    for xi, gi in ((x1, got[0]), (x2, got[1])):
+        want = np.fft.irfft(np.fft.rfft(xi.astype(np.float64)) * np.fft.rfft(h), n)
+        scale = np.max(np.abs(want))
+        tol = scale * (2 ** -18 if arith_name == "f32" else 2 ** -21)
+        assert np.max(np.abs(gi - want)) < tol
