@@ -21,12 +21,18 @@ from ..ops import overlap_save as osv
 
 
 def default_segment_len(plan: osv.OverlapSavePlan, target: int = 1 << 24) -> int:
+    """Segment body length: a multiple of the hop near ``target`` samples,
+    aligned so the extended segment blocks into an exact multiple of the
+    engine's CONV_CHUNK (no leftover-tail conv graph: a k-hop body plus
+    halos yields round_even(k+1) overlap-save blocks)."""
     # Target measured on the axon TPU: fixed ~30 ms dispatch overhead per
-    # device call vs ~2 ns/sample marginal cost — large segments amortize
+    # device call vs ~1.3 ns/sample marginal cost — large segments amortize
     # the fixed cost (16M samples/call -> overhead < 20% of runtime).
-    """Segment body length: a multiple of the hop near `target` samples."""
-    blocks = max(1, target // plan.hop)
-    return blocks * plan.hop
+    k = max(1, target // plan.hop)
+    ch = osv.CONV_CHUNK
+    nb = (k + 2) & ~1  # round_even(k + 1)
+    k += -nb % ch  # lift so round_even(k+1) is a CONV_CHUNK multiple
+    return k * plan.hop
 
 
 def filter_array_streamed(

@@ -46,8 +46,10 @@ def main() -> int:
     ap.add_argument("--sample-rate", type=float, default=96000.0)
     ap.add_argument("--channels", type=int, default=2)
     ap.add_argument("--block-size", type=int, default=0)
-    ap.add_argument("--segment-blocks", type=int, default=32,
-                    help="overlap-save blocks per timed segment")
+    ap.add_argument("--segment-blocks", type=int, default=31,
+                    help="hops per timed segment (default 31: the extended "
+                         "segment then blocks into exactly 32 = 4*CONV_CHUNK "
+                         "overlap-save blocks, no leftover-tail conv)")
     ap.add_argument("--e2e-segments", type=int, default=0,
                     help="segments for the end-to-end (tunnel) check "
                          "(default 0 = off: the dev tunnel moves incompressible "
