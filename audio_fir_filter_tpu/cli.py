@@ -75,12 +75,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "'fast' = float32 FFT. (default: high)")
     p.add_argument("--block-size", type=int, default=0, metavar="B",
                    help="Overlap-save FFT size (power of two; 0 = auto).")
-    p.add_argument("--engine", choices=["fourstep", "pease", "stockham"],
+    p.add_argument("--engine",
+                   choices=["fourstep", "pallas", "pease", "stockham"],
                    default="fourstep",
-                   help="FFT engine: 'fourstep' (2-D constant-geometry, "
-                        "fastest), 'pease' (1-D constant-geometry) or "
-                        "'stockham' (unrolled; minutes of first-run compile). "
-                        "(default: fourstep)")
+                   help="FFT engine: 'fourstep' (2-D constant-geometry XLA, "
+                        "fastest), 'pallas' (hand-written Mosaic kernels, "
+                        "VMEM-resident phases), 'pease' (1-D constant-"
+                        "geometry) or 'stockham' (unrolled; minutes of "
+                        "first-run compile). (default: fourstep)")
     p.add_argument("--mesh", type=str, default=None, metavar="DxT",
                    help="Device mesh shape data x time, e.g. 1x8: shard the "
                         "sample axis across T devices (halo exchange) and "

@@ -430,6 +430,195 @@ def ifft_pease(y, n: int, arith=ARITH_DF64):
     return arith.mul_pow2(y, 1.0 / n)
 
 
+# ----------------------------------------------- in-place DIF/DIT row stages
+
+"""In-place DIF (forward) / DIT (inverse) radix-4 stages along axis -2.
+
+The constant-geometry (Pease) row stages interleave their outputs
+(forward) or deinterleave their inputs (inverse) at single-row
+granularity. XLA lowers both acceptably, but Mosaic (Pallas) executes the
+inverse's strided reads ~7x slower than the forward (measured on v5e,
+experiments/pallas_micro.py). The classic in-place formulation avoids
+both: stage at distance d reads and writes CONTIGUOUS d-row blocks within
+each group — forward emits digit-reversed row order, the DIT inverse
+consumes it and emits natural order. The digit-reversal permutation is
+handled exactly like the Pease one: never materialized, absorbed into the
+host-side spectrum layout (``dif_sigma``).
+"""
+
+
+@functools.lru_cache(maxsize=64)
+def dif_plan(n: int):
+    """Stages outermost-first: optional leading radix-2, then radix-4.
+    Tuple of ("r2"|"r4", d) with d the intra-group block length."""
+    L = n.bit_length() - 1
+    stages = []
+    if L % 2 == 1:
+        stages.append(("r2", n // 2))
+        n //= 2
+    while n > 1:
+        stages.append(("r4", n // 4))
+        n //= 4
+    return tuple(stages)
+
+
+@functools.lru_cache(maxsize=64)
+def dif_tables_np(n: int):
+    """Per-stage twiddles, [d, 1]: r2 -> (w,); r4 -> (w1, w2, w3)."""
+    out = []
+    for kind, d in dif_plan(n):
+        j = np.arange(d, dtype=np.float64)[:, None]
+        if kind == "r2":
+            out.append((np.exp(-1j * np.pi * j / d),))
+        else:
+            g = 4 * d
+            out.append(tuple(
+                np.exp(-2j * np.pi * r * j / g) for r in (1, 2, 3)))
+    return tuple(out)
+
+
+@functools.lru_cache(maxsize=64)
+def dif_tables(n: int, arith_name: str):
+    arith = ARITH_F32 if arith_name == "f32" else ARITH_DF64
+    return tuple(tuple(arith.wrap_np(w) for w in ws)
+                 for ws in dif_tables_np(n))
+
+
+def dif_fft_np(x64: np.ndarray) -> np.ndarray:
+    """Host float64 mirror (digit-reversed output order), last axis."""
+    x = np.asarray(x64, complex).copy()
+    n = x.shape[-1]
+    for (kind, d), ws in zip(dif_plan(n), dif_tables_np(n)):
+        if kind == "r2":
+            v = x.reshape(x.shape[:-1] + (-1, 2, d))
+            a, b = v[..., 0, :], v[..., 1, :]
+            x = np.stack([a + b, (a - b) * ws[0][:, 0]],
+                         axis=-2).reshape(x.shape)
+        else:
+            v = x.reshape(x.shape[:-1] + (-1, 4, d))
+            a, b, c, e = (v[..., i, :] for i in range(4))
+            t0, t1 = a + c, a - c
+            t2, t3 = b + e, -1j * (b - e)
+            x = np.stack([
+                t0 + t2,
+                (t1 + t3) * ws[0][:, 0],
+                (t0 - t2) * ws[1][:, 0],
+                (t1 - t3) * ws[2][:, 0],
+            ], axis=-2).reshape(x.shape)
+    return x
+
+
+@functools.lru_cache(maxsize=32)
+def dif_sigma(n: int) -> np.ndarray:
+    """Permutation with dif_fft_np(x)[i] == DFT(x)[dif_sigma(i)] (same
+    delta-function recovery as :func:`pease_sigma`)."""
+    x = np.zeros(n)
+    if n > 1:
+        x[1] = 1.0
+        y = dif_fft_np(x)
+        sig = np.round(-np.angle(y) * n / (2 * np.pi)).astype(np.int64) % n
+    else:
+        sig = np.zeros(1, np.int64)
+    assert len(np.unique(sig)) == n
+    return sig
+
+
+def fft_dif_rows(z, n: int, arith=ARITH_DF64, tabs=None):
+    """In-place DIF along axis -2 of [..., n, V]; digit-reversed rows out.
+
+    ``tabs`` defaults to embedded host constants; Pallas callers pass the
+    loaded table values instead."""
+    if tabs is None:
+        tabs = dif_tables(n, arith.name)
+    for (kind, d), ws in zip(dif_plan(n), tabs):
+        shp = jax.tree.leaves(z)[0].shape
+
+        def back(*parts):
+            return _tmap(
+                lambda *ps: jnp.stack(ps, axis=-3).reshape(shp), *parts)
+
+        if kind == "r2":
+            v = _tmap(lambda t: t.reshape(
+                t.shape[:-2] + (-1, 2, d, t.shape[-1])), z)
+            a = _tmap(lambda t: t[..., 0, :, :], v)
+            b = _tmap(lambda t: t[..., 1, :, :], v)
+            z = back(arith.add(a, b), arith.mul(arith.sub(a, b), ws[0]))
+        else:
+            v = _tmap(lambda t: t.reshape(
+                t.shape[:-2] + (-1, 4, d, t.shape[-1])), z)
+            a = _tmap(lambda t: t[..., 0, :, :], v)
+            b = _tmap(lambda t: t[..., 1, :, :], v)
+            c = _tmap(lambda t: t[..., 2, :, :], v)
+            e = _tmap(lambda t: t[..., 3, :, :], v)
+            t0, t1 = arith.add(a, c), arith.sub(a, c)
+            t2 = arith.add(b, e)
+            t3 = arith.mul_neg_i(arith.sub(b, e))
+            z = back(
+                arith.add(t0, t2),
+                arith.mul(arith.add(t1, t3), ws[0]),
+                arith.mul(arith.sub(t0, t2), ws[1]),
+                arith.mul(arith.sub(t1, t3), ws[2]),
+            )
+    return z
+
+
+def ifft_dit_rows(y, n: int, arith=ARITH_DF64, tabs=None):
+    """Inverse of :func:`fft_dif_rows`: digit-reversed rows in, natural
+    out, 1/n scaling included. Contiguous block accesses in every stage."""
+    if tabs is None:
+        tabs = dif_tables(n, arith.name)
+    for (kind, d), ws in zip(reversed(dif_plan(n)), reversed(tabs)):
+        shp = jax.tree.leaves(y)[0].shape
+
+        def back(*parts):
+            return _tmap(
+                lambda *ps: jnp.stack(ps, axis=-3).reshape(shp), *parts)
+
+        if kind == "r2":
+            v = _tmap(lambda t: t.reshape(
+                t.shape[:-2] + (-1, 2, d, t.shape[-1])), y)
+            a = _tmap(lambda t: t[..., 0, :, :], v)
+            b = arith.mul(_tmap(lambda t: t[..., 1, :, :], v),
+                          arith.conj(ws[0]))
+            y = back(arith.add(a, b), arith.sub(a, b))
+        else:
+            v = _tmap(lambda t: t.reshape(
+                t.shape[:-2] + (-1, 4, d, t.shape[-1])), y)
+            u0 = _tmap(lambda t: t[..., 0, :, :], v)
+            u1 = arith.mul(_tmap(lambda t: t[..., 1, :, :], v),
+                           arith.conj(ws[0]))
+            u2 = arith.mul(_tmap(lambda t: t[..., 2, :, :], v),
+                           arith.conj(ws[1]))
+            u3 = arith.mul(_tmap(lambda t: t[..., 3, :, :], v),
+                           arith.conj(ws[2]))
+            s0, d0 = arith.add(u0, u2), arith.sub(u0, u2)
+            s1, d1 = arith.add(u1, u3), arith.sub(u1, u3)
+            id1 = arith.mul_neg_i(arith.mul_pow2(d1, -1.0))  # i * d1
+            y = back(
+                arith.add(s0, s1), arith.add(d0, id1),
+                arith.sub(s0, s1), arith.sub(d0, id1),
+            )
+    return arith.mul_pow2(y, 1.0 / n)
+
+
+@functools.lru_cache(maxsize=16)
+def _fourstep_dif_twiddle_np(r: int, c: int) -> np.ndarray:
+    """T[i, n2] = W_(r*c)^(dif_sigma_r(i) * n2) (DIF-ordered rows)."""
+    sig = dif_sigma(r)
+    i = sig[:, None].astype(np.float64)
+    n2 = np.arange(c, dtype=np.float64)[None, :]
+    return np.exp(-2j * np.pi * i * n2 / (r * c))
+
+
+def fourstep_dif_fft_np(x64: np.ndarray, r: int, c: int) -> np.ndarray:
+    """Host mirror of the DIF-based four-step (the Pallas engine's layout):
+    [.., r*c] -> [.., c, r] with Y[j, i] = X[sig_r(i) + r*sig_c(j)]."""
+    a = np.asarray(x64, complex).reshape(x64.shape[:-1] + (r, c))
+    ahat = np.swapaxes(dif_fft_np(np.swapaxes(a, -1, -2)), -1, -2)
+    m = ahat * _fourstep_dif_twiddle_np(r, c)
+    return np.swapaxes(dif_fft_np(m), -1, -2)
+
+
 # ------------------------------------------------------ four-step (2-D) FFT
 
 """Four-step constant-geometry FFT — the production engine.

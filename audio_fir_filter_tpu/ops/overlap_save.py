@@ -123,13 +123,15 @@ def make_plan(taps: np.ndarray, precision: str = HIGH, block_size: int = 0,
     hr[:t] = taps[::-1]
     if engine == "fourstep":
         H64 = fft_core.fourstep_fft_np(hr, *fft_core.fourstep_split(b))
+    elif engine == "pallas":
+        H64 = fft_core.fourstep_dif_fft_np(hr, *fft_core.fourstep_split(b))
     elif engine == "pease":
         H64 = fft_core.pease_fft_np(hr)       # permuted-order spectrum
     elif engine == "stockham":
         H64 = np.fft.rfft(hr)                  # natural-order rfft spectrum
     else:
-        raise ValueError(
-            f"unknown engine {engine!r} (use 'fourstep', 'pease' or 'stockham')")
+        raise ValueError(f"unknown engine {engine!r} "
+                         "(use 'fourstep', 'pallas', 'pease' or 'stockham')")
     H = jax.tree.map(jnp.asarray, arith.wrap_np(H64))
     return OverlapSavePlan(t, b, precision, engine, H=H)
 
@@ -168,6 +170,9 @@ def _conv_blocks(blocks: jax.Array, H, precision: str, engine: str) -> jax.Array
     arith = ARITH_F32 if precision == FAST else ARITH_DF64
     if engine == "fourstep":
         return fft_core.fourstep_conv_real_blocks(blocks, H, arith)
+    if engine == "pallas":
+        from . import pallas_fft
+        return pallas_fft.pallas_conv_real_blocks(blocks, H, arith)
     if engine == "pease":
         return fft_core.pease_conv_real_blocks(blocks, H, arith)
     return fft_core.rfft_multiply_irfft(blocks, H, arith)

@@ -181,6 +181,61 @@ def test_fourstep_fft_np_matches_dft_layout():
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-7)
 
 
+def test_dif_fft_np_is_permuted_dft_and_sigma_exact():
+    """Host DIF mirror == DFT re-indexed by dif_sigma (all radix paths)."""
+    from audio_fir_filter_tpu.ops import fft_core
+
+    for n in (8, 64, 512):
+        sig = fft_core.dif_sigma(n)
+        rng = np.random.default_rng(n)
+        z = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        np.testing.assert_allclose(
+            fft_core.dif_fft_np(z), np.fft.fft(z)[sig], rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.parametrize("n", [64, 512])
+def test_dif_rows_roundtrip_matches_mirror(n):
+    """Device DIF rows fwd == host mirror; DIT inverse restores input."""
+    from audio_fir_filter_tpu.ops import fft_core
+
+    arith = fft_core.ARITH_DF64
+    rng = np.random.default_rng(31)
+    v = 8
+    xr = rng.standard_normal((2, n, v)).astype(np.float32)
+    xi = rng.standard_normal((2, n, v)).astype(np.float32)
+    z = arith.from_f32(jnp.asarray(xr), jnp.asarray(xi))
+    Z = jax.jit(lambda t: fft_core.fft_dif_rows(t, n, arith))(z)
+    got = (np.asarray(Z.re.hi + Z.re.lo)
+           + 1j * np.asarray(Z.im.hi + Z.im.lo))
+    want = fft_core.dif_fft_np(
+        (xr + 1j * xi).transpose(0, 2, 1)).transpose(0, 2, 1)
+    assert np.abs(got - want).max() < 1e-5 * np.abs(want).max()
+    back = jax.jit(lambda t: fft_core.ifft_dit_rows(
+        fft_core.fft_dif_rows(t, n, arith), n, arith))(z)
+    np.testing.assert_allclose(
+        np.asarray(back.re.hi + back.re.lo), xr, rtol=0, atol=1e-5)
+
+
+def test_pallas_conv_matches_reference():
+    """Pallas engine (interpret on CPU, Mosaic on TPU) vs float64 numpy."""
+    from audio_fir_filter_tpu.ops import fft_core, pallas_fft
+
+    n = 1024
+    arith = fft_core.ARITH_DF64
+    rng = np.random.default_rng(41)
+    x = rng.uniform(-1, 1, (4, n)).astype(np.float32)
+    h = rng.standard_normal(n) * np.exp(-np.arange(n) / 40.0)
+    H2 = jax.tree.map(jnp.asarray, arith.wrap_np(
+        fft_core.fourstep_dif_fft_np(h, *fft_core.fourstep_split(n))))
+    got = np.asarray(pallas_fft.pallas_conv_real_blocks(
+        jnp.asarray(x), H2, arith))
+    want = np.stack([
+        np.fft.irfft(np.fft.rfft(xi.astype(np.float64)) * np.fft.rfft(h), n)
+        for xi in x])
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() < scale * 2 ** -21
+
+
 @pytest.mark.parametrize("n", [64, 512, 4096])
 @pytest.mark.parametrize("arith_name", ["f32", "df64"])
 def test_fourstep_roundtrip_and_convolution(n, arith_name):

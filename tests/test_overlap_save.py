@@ -120,7 +120,7 @@ def test_sine_passband_and_stopband():
     assert np.max(np.abs(y_hig - hig[ws.num_taps : -ws.num_taps])) < 1e-2
 
 
-@pytest.mark.parametrize("engine", ["fourstep", "pease", "stockham"])
+@pytest.mark.parametrize("engine", ["fourstep", "pallas", "pease", "stockham"])
 def test_engines_match_oracle(engine):
     """Both FFT engines implement identical semantics."""
     x, ws = make_case(n=6000, seed=9)
