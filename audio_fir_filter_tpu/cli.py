@@ -87,6 +87,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Device mesh shape data x time, e.g. 1x8: shard the "
                         "sample axis across T devices (halo exchange) and "
                         "channels across D devices. Default: single device.")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="Write a jax.profiler trace of the run to DIR "
+                        "(inspect with TensorBoard / xprof; SURVEY.md §5 "
+                        "observability).")
     p.add_argument("--json-metrics", action="store_true",
                    help="Print per-stage timing metrics as JSON to stderr.")
     p.add_argument("--resume", action="store_true",
@@ -151,6 +155,16 @@ def run(argv=None) -> None:
     # Import the pipeline lazily: --help and usage errors must not pay (or
     # require) JAX/TPU initialization.
     from .pipeline import process_file
+
+    if args.profile:
+        # jax.profiler trace of the whole run (device ops + host timeline).
+        import atexit
+
+        import jax.profiler
+
+        jax.profiler.start_trace(args.profile)
+        atexit.register(jax.profiler.stop_trace)
+        show_status(f"Profiling to {args.profile} (jax.profiler trace).")
 
     paths = [Path(s) for s in args.paths]
 

@@ -1,25 +1,30 @@
 #!/usr/bin/env python
 """North-star benchmark: filtering throughput in samples/sec/chip.
 
-Workload (BASELINE.md): 1-hour 96 kHz stereo WAV, default lowcut filter
-(-f 15 -s 10 -> M = 38,400 taps at 96 kHz), high-precision (double-float)
-engine. Baseline target: >= 100x faster than realtime on one chip, i.e.
-100 * 96000 frames/s * 2 channels = 1.92e7 samples/s.
+Headline workload (BASELINE.md): 1-hour 96 kHz stereo WAV, default lowcut
+filter (-f 15 -s 10 -> M = 38,400 taps at 96 kHz), high-precision
+(double-float) engine. Baseline target: >= 100x faster than realtime on
+one chip, i.e. 100 * 96000 frames/s * 2 channels = 1.92e7 samples/s.
 
 Prints ONE JSON line to stdout:
   {"metric": ..., "value": N, "unit": "samples/s/chip", "vs_baseline": N}
 (vs_baseline = value / 1.92e7; >= 1.0 means the 100x-realtime target is met.)
 
+Extra modes (reports go to stderr; the stdout contract stays one line):
+  --all       run the kernels of the 5 BASELINE.json configs
+  --roofline  analytic flops/bytes model of the engine vs the measured rate
+
 Measurement methodology: the metric is the CHIP's filtering throughput —
-the full overlap-save pipeline (block gather, forward Stockham FFT,
-spectral multiply, inverse FFT, hop reassembly, edge-exact semantics)
-executed on device-resident segments, exactly as the streaming pipeline
-dispatches them. Host<->device transfer is excluded from the headline
-number because this development environment reaches the TPU through a
-tunnel capped at ~8-30 MB/s (measured), which says nothing about the chip;
-the tunnel-limited end-to-end rate is reported alongside as
-"end_to_end_samples_per_sec" (a production host feeds the chip via local
-DMA at GB/s, where end-to-end converges to the chip rate).
+the full overlap-save pipeline (block gather, four-step FFT, spectral
+multiply, inverse FFT, hop reassembly, edge-exact semantics) executed on
+device-resident segments, exactly as the streaming pipeline dispatches
+them. Host<->device transfer is excluded from the headline number because
+this development environment reaches the TPU through a tunnel capped at
+~1-30 MB/s (measured), which says nothing about the chip; a production
+host feeds the chip via local DMA at GB/s, where end-to-end converges to
+the chip rate. Completion is fenced by fetching a few samples of the LAST
+output (device execution is in-order; this backend's block_until_ready
+returns early).
 """
 
 from __future__ import annotations
@@ -36,11 +41,127 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def measure_chip_rate(freq: float, slope: float, fs: float, channels: int,
+                      precision: str, block_size: int, segment_blocks: int,
+                      reps: int, engine: str = "fourstep") -> dict:
+    """Device-resident throughput of one filter configuration."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_fir_filter_tpu.ops import kernel_design as kd
+    from audio_fir_filter_tpu.ops import overlap_save as osv
+
+    rng = np.random.default_rng(0)
+    ws = kd.WindowedSinc(freq / fs, slope / fs).make_low_cut()
+    plan = osv.make_plan(ws.taps, precision=precision,
+                         block_size=block_size, engine=engine)
+    seg = segment_blocks * plan.hop
+    log(f"kernel: {ws.num_taps} taps (M={ws.m}); block B={plan.block_size}, "
+        f"hop {plan.hop}; precision={precision}; engine={engine}")
+    log(f"segment: {channels} ch x {seg} frames ({seg / fs:.1f}s of audio) "
+        f"+ {plan.m} halo")
+
+    # The dev tunnel moves incompressible data at ~1 MB/s; FFT timing is
+    # data-independent, so stage a small random tile and build the full
+    # segment on device (one tiny jit), instead of shipping ~120 MiB.
+    t0 = time.perf_counter()
+    tile = (0.3 * rng.standard_normal((channels, 1 << 18))).astype(np.float32)
+    td = jax.device_put(tile)
+    reps_needed = -(-(seg + plan.m) // tile.shape[1])
+    xd = jax.jit(
+        lambda t: jnp.tile(t, (1, reps_needed))[:, : seg + plan.m])(td)
+    np.asarray(xd[0, :8])  # fence
+    log(f"stage+expand to device: {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    y = osv.extended_filter(xd, plan, seg)
+    np.asarray(y[0, :8])
+    log(f"warmup (incl. compile): {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    y_last = None
+    for _ in range(reps):
+        y_last = osv.extended_filter(xd, plan, seg)
+    sentinel = np.asarray(y_last[0, :8])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(sentinel).all()
+    samples = reps * channels * seg
+    chip_rate = samples / dt
+    log(f"device-resident: {reps} segments in {dt:.3f}s -> "
+        f"{chip_rate/1e6:.1f} Msamples/s "
+        f"({chip_rate / (fs * channels):.0f}x realtime)")
+    return {"rate": chip_rate, "plan": plan, "num_taps": ws.num_taps,
+            "realtime_x": chip_rate / (fs * channels)}
+
+
+def roofline_report(plan, chip_rate: float) -> None:
+    """Analytic cost model of the df64 four-step engine vs what was measured.
+
+    Flop weights (f32 ops) for strict double-float arithmetic
+    (ops/df64.py): add/sub = 11, mul = 20 -> complex add = 22,
+    complex mul = 4*20 + 2*11 = 102. A radix-4 stage does 8 complex
+    add/sub + 3 complex mul per 4 points; a radix-2 stage 2 add + 1 mul
+    per 2 points. HBM traffic: each fori_loop stage and each
+    twiddle/multiply/transpose materializes the [.., B] complex df64
+    working set (16 B/point) once read + once written.
+    """
+    from audio_fir_filter_tpu.ops import fft_core as fc
+
+    b = plan.block_size
+    r, c = fc.fourstep_split(b)
+    CADD, CMUL = 22.0, 102.0
+
+    def stage_flops(n):
+        f = 0.0
+        has_r2, dones = fc._pease_plan(n)
+        if has_r2:
+            f += (2 * CADD + 1 * CMUL) / 2      # per point
+        f += len(dones) * (8 * CADD + 3 * CMUL) / 4
+        return f, (1 if has_r2 else 0) + len(dones)
+
+    f_r, s_r = stage_flops(r)
+    f_c, s_c = stage_flops(c)
+    # forward + inverse of both phases + 2 four-step twiddle muls + H mul
+    flops_per_cplx = 2 * (f_r + f_c) + 3 * CMUL
+    stages = 2 * (s_r + s_c)
+    # HBM passes: every stage r+w, 2 transposes r+w, 3 pointwise muls fused
+    # into adjacent stages (XLA), pack/unpack ~2 passes of f32.
+    passes = 2 * (stages + 2)
+    bytes_per_cplx = passes * 16.0 + 2 * 8.0
+    # two real samples ride one complex point
+    flops_per_sample = flops_per_cplx / 2
+    bytes_per_sample = bytes_per_cplx / 2
+    gflops = chip_rate * flops_per_sample / 1e9
+    gbs = chip_rate * bytes_per_sample / 1e9
+    log("roofline model (df64 four-step, strict arithmetic):")
+    log(f"  B={b} = {r}x{c}; {stages} fori stages fwd+inv")
+    log(f"  model: {flops_per_sample:.0f} f32-flop/sample, "
+        f"{bytes_per_sample:.0f} HBM B/sample")
+    log(f"  achieved at {chip_rate/1e6:.1f} Msamples/s: "
+        f"{gflops:.0f} Gflop/s (VPU), {gbs:.0f} GB/s HBM "
+        f"({gbs/819*100:.0f}% of v5e's 819 GB/s)")
+
+
+# The 5 BASELINE.json workload configs, as (name, freq, slope, fs, channels).
+# Config 4 (64-file batch) exercises host orchestration, not the chip — its
+# chip-side kernel equals config 1; config 5's multi-host sharding is
+# validated by tests/test_sharded.py + dryrun_multichip, its chip-side
+# kernel is measured here at 192 kHz.
+BASELINE_CONFIGS = [
+    ("cfg1 mono 44.1k 16-bit, f=20 s=10", 20.0, 10.0, 44100.0, 1),
+    ("cfg2 stereo 96k 24-bit, f=10 s=5 (long kernel)", 10.0, 5.0, 96000.0, 2),
+    ("cfg3 AIFF, f=40 s=10 + normalize", 40.0, 10.0, 44100.0, 2),
+    ("cfg5 stereo 192k, f=15 s=10 (sharded kernel)", 15.0, 10.0, 192000.0, 2),
+]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=12,
                     help="device-resident segment passes to time")
     ap.add_argument("--precision", choices=["high", "fast"], default="high")
+    ap.add_argument("--engine", default="fourstep",
+                    choices=["fourstep", "pallas", "pease", "stockham"])
     ap.add_argument("--freq", type=float, default=15.0)
     ap.add_argument("--slope", type=float, default=10.0)
     ap.add_argument("--sample-rate", type=float, default=96000.0)
@@ -50,86 +171,35 @@ def main() -> int:
                     help="hops per timed segment (default 31: the extended "
                          "segment then blocks into exactly 32 = 4*CONV_CHUNK "
                          "overlap-save blocks, no leftover-tail conv)")
-    ap.add_argument("--e2e-segments", type=int, default=0,
-                    help="segments for the end-to-end (tunnel) check "
-                         "(default 0 = off: the dev tunnel moves incompressible "
-                         "audio at ~1 MB/s, so an honest e2e run costs minutes "
-                         "and measures the tunnel, not the chip)")
+    ap.add_argument("--all", action="store_true",
+                    help="also run the BASELINE.json config kernels (stderr)")
+    ap.add_argument("--roofline", action="store_true",
+                    help="print the analytic flops/bytes model (stderr)")
     args = ap.parse_args()
 
     import jax
-    import jax.numpy as jnp
 
-    from audio_fir_filter_tpu.ops import kernel_design as kd
-    from audio_fir_filter_tpu.ops import overlap_save as osv
-    from audio_fir_filter_tpu.pipeline.stream import filter_array_streamed
-
-    dev = jax.devices()[0]
-    log(f"device: {dev}")
+    log(f"device: {jax.devices()[0]}")
 
     fs = args.sample_rate
-    ws = kd.WindowedSinc(args.freq / fs, args.slope / fs).make_low_cut()
-    plan = osv.make_plan(ws.taps, precision=args.precision,
-                         block_size=args.block_size)
-    log(f"kernel: {ws.num_taps} taps (M={ws.m}); block B={plan.block_size}, "
-        f"hop {plan.hop}; precision={args.precision}")
+    res = measure_chip_rate(args.freq, args.slope, fs, args.channels,
+                            args.precision, args.block_size,
+                            args.segment_blocks, args.reps, args.engine)
+    chip_rate = res["rate"]
+    if args.roofline:
+        roofline_report(res["plan"], chip_rate)
 
-    # --- headline: chip throughput on device-resident segments -------------
-    seg = args.segment_blocks * plan.hop
-    rng = np.random.default_rng(0)
-    log(f"segment: {args.channels} ch x {seg} frames "
-        f"({seg / fs:.1f}s of audio) + {plan.m} halo")
-    # The dev tunnel moves incompressible data at ~1 MB/s; FFT timing is
-    # data-independent, so stage a small random tile and build the full
-    # segment on device (one tiny jit), instead of shipping ~120 MiB.
-    t0 = time.perf_counter()
-    tile = (0.3 * rng.standard_normal((args.channels, 1 << 18))).astype(np.float32)
-    td = jax.device_put(tile)
-    reps_needed = -(-(seg + plan.m) // tile.shape[1])
-    xd = jax.jit(
-        lambda t: jnp.tile(t, (1, reps_needed))[:, : seg + plan.m])(td)
-    np.asarray(xd[0, :8])  # fence (block_until_ready is unreliable here)
-    log(f"stage+expand to device: {time.perf_counter() - t0:.1f}s")
-
-    # Note: this backend's block_until_ready returns early; a tiny fetch of
-    # the result is the only reliable completion barrier.
-    t0 = time.perf_counter()
-    y = osv.extended_filter(xd, plan, seg)
-    np.asarray(y[0, :8])
-    log(f"warmup (incl. compile): {time.perf_counter() - t0:.1f}s")
-
-    # One timed pass = filter one segment; outputs stay on device. The axon
-    # backend's block_until_ready does not reliably block, so completion is
-    # forced by fetching a few samples of the LAST output — device execution
-    # is in-order, so its completion implies all prior segments completed.
-    t0 = time.perf_counter()
-    y_last = None
-    for i in range(args.reps):
-        y_last = osv.extended_filter(xd, plan, seg)
-    sentinel = np.asarray(y_last[0, :8])
-    dt = time.perf_counter() - t0
-    assert np.isfinite(sentinel).all()
-    samples = args.reps * args.channels * seg
-    chip_rate = samples / dt
-    log(f"device-resident: {args.reps} segments in {dt:.3f}s -> "
-        f"{chip_rate/1e6:.1f} Msamples/s "
-        f"({chip_rate / (fs * args.channels):.0f}x realtime)")
-    del y_last, y
-
-    # --- secondary: end-to-end through the host tunnel ---------------------
-    # Signal length = an exact multiple of the segment, so the streaming path
-    # reuses the already-compiled [C, seg + M] program (no extra compile).
-    e2e_rate = None
-    if args.e2e_segments > 0:
-        frames = args.e2e_segments * seg
-        x = (0.3 * rng.standard_normal((args.channels, frames))).astype(np.float32)
-        t0 = time.perf_counter()
-        filter_array_streamed(x, plan, segment_len=seg)
-        dt = time.perf_counter() - t0
-        e2e_rate = frames * args.channels / dt
-        log(f"end-to-end (tunnel-limited): {dt:.3f}s for {frames / fs:.0f}s "
-            f"audio -> {e2e_rate/1e6:.2f} Msamples/s "
-            f"({e2e_rate / (fs * args.channels):.1f}x realtime)")
+    if args.all:
+        log("\nBASELINE.json config kernels:")
+        extra = {}
+        for name, f, s, cfs, ch in BASELINE_CONFIGS:
+            log(f"--- {name}")
+            r = measure_chip_rate(f, s, cfs, ch, args.precision, 0,
+                                  args.segment_blocks, max(4, args.reps // 2),
+                                  args.engine)
+            extra[name] = {"samples_per_sec": round(r["rate"], 1),
+                           "realtime_x": round(r["realtime_x"], 1)}
+        log(json.dumps(extra, indent=2))
 
     baseline = 100.0 * fs * args.channels  # 100x realtime, in samples/s
     result = {
@@ -138,8 +208,6 @@ def main() -> int:
         "unit": "samples/s/chip",
         "vs_baseline": round(chip_rate / baseline, 4),
     }
-    if e2e_rate is not None:
-        result["end_to_end_samples_per_sec"] = round(e2e_rate, 1)
     print(json.dumps(result))
     return 0
 
