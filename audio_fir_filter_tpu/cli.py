@@ -222,22 +222,35 @@ def run(argv=None) -> None:
         except Exception:
             pass
 
-        for input_path in inputs:
-            if not input_path.is_file():
-                raise FileNotFound(str(input_path))
-            dest_path = dest_dir / input_path.name
-            if manifest is not None and manifest.is_done(input_path) \
-                    and dest_path.exists():
-                show_status(f"Skipping (already done): {input_path.name}")
-                continue
-            if dest_path.exists() and not (args.overwrite or args.resume):
-                raise FileExists(str(dest_path))
-            if dest_path.exists():
-                os.remove(dest_path)
-            metrics = process_file(input_path, dest_path, opts)
-            _emit_metrics(metrics, dest_path, args)
-            if manifest is not None:
-                manifest.mark_done(input_path)
+        if opts.mesh_shape is None:
+            # Pipelined batch: host reader/writer worker threads (the -t
+            # pool) overlap file I/O with the device loop (pipeline/batch.py).
+            from .pipeline.batch import run_batch
+
+            run_batch(
+                inputs, dest_dir, opts,
+                overwrite=args.overwrite, manifest=manifest,
+                metrics_cb=(lambda m, d: _emit_metrics(m, d, args))
+                if args.json_metrics else None)
+        else:
+            # Sharded multi-device filtering keeps the serial per-file loop
+            # (the mesh owns the parallelism; no point pipelining around it).
+            for input_path in inputs:
+                if not input_path.is_file():
+                    raise FileNotFound(str(input_path))
+                dest_path = dest_dir / input_path.name
+                if manifest is not None and manifest.is_done(input_path) \
+                        and dest_path.exists():
+                    show_status(f"Skipping (already done): {input_path.name}")
+                    continue
+                if dest_path.exists() and not (args.overwrite or args.resume):
+                    raise FileExists(str(dest_path))
+                if dest_path.exists():
+                    os.remove(dest_path)
+                metrics = process_file(input_path, dest_path, opts)
+                _emit_metrics(metrics, dest_path, args)
+                if manifest is not None:
+                    manifest.mark_done(input_path)
 
     else:
         raise UsageError("Invalid number of parameters. Need at least 2.")

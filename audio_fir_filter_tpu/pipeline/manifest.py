@@ -15,16 +15,22 @@ from __future__ import annotations
 
 import json
 import os
+import tempfile
+import threading
 from pathlib import Path
 
 MANIFEST_NAME = ".lowcut_manifest.json"
 
 
 class BatchManifest:
+    """Thread-safe: ``mark_done`` is called from the batch pipeline's
+    writer threads (pipeline/batch.py)."""
+
     def __init__(self, dest_dir: Path, options_fingerprint: str):
         self.path = Path(dest_dir) / MANIFEST_NAME
         self.fingerprint = options_fingerprint
         self.done: dict[str, bool] = {}
+        self._lock = threading.Lock()
         if self.path.exists():
             try:
                 data = json.loads(self.path.read_text())
@@ -34,17 +40,29 @@ class BatchManifest:
                 pass  # corrupt manifest: start fresh
 
     def is_done(self, input_path) -> bool:
-        return self.done.get(str(input_path), False)
+        with self._lock:
+            return self.done.get(str(input_path), False)
 
     def mark_done(self, input_path) -> None:
-        self.done[str(input_path)] = True
-        self._flush()
+        with self._lock:
+            self.done[str(input_path)] = True
+            self._flush()
 
     def _flush(self) -> None:
-        tmp = self.path.with_suffix(".tmp")
-        tmp.write_text(json.dumps(
-            {"options": self.fingerprint, "done": self.done}, indent=1))
-        os.replace(tmp, self.path)
+        # Unique temp name + atomic replace (lock held by callers).
+        fd, tmp = tempfile.mkstemp(dir=str(self.path.parent),
+                                   prefix=".lowcut_manifest_")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump({"options": self.fingerprint, "done": self.done},
+                          f, indent=1)
+            os.replace(tmp, self.path)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
 
     def clear(self) -> None:
         if self.path.exists():
