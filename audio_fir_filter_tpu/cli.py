@@ -69,6 +69,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-O", "--overwrite", action="store_true",
                    help="Overwrite existing files.")
     # TPU-native extensions.
+    p.add_argument("--filter", dest="filter_type", default="lowcut",
+                   choices=["lowcut", "highpass", "lowpass", "bandpass",
+                            "bandreject"],
+                   help="Filter family (windowed-sinc). 'lowcut' is the "
+                        "reference behavior; band filters take -f as the "
+                        "low edge and --frequency-high as the high edge. "
+                        "(default: lowcut)")
+    p.add_argument("-F", "--frequency-high", type=float, default=None,
+                   metavar="Hz",
+                   help="Band high edge in Hz (bandpass/bandreject only).")
     p.add_argument("--precision", choices=["high", "fast"], default="high",
                    help="Convolution precision: 'high' = double-float FFT "
                         "(matches float64 reference within 1 LSB @ 24-bit), "
@@ -87,6 +97,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Device mesh shape data x time, e.g. 1x8: shard the "
                         "sample axis across T devices (halo exchange) and "
                         "channels across D devices. Default: single device.")
+    # Multi-host launch (SURVEY.md §5: jax.distributed runtime; one process
+    # per host, batch files sharded across processes on the data axis).
+    p.add_argument("--coordinator", metavar="HOST:PORT", default=None,
+                   help="Multi-host: coordinator address for "
+                        "jax.distributed.initialize (process 0's host).")
+    p.add_argument("--num-processes", type=int, default=None, metavar="N",
+                   help="Multi-host: total number of JAX processes.")
+    p.add_argument("--process-id", type=int, default=None, metavar="I",
+                   help="Multi-host: this process's index (0-based).")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="Write a jax.profiler trace of the run to DIR "
                         "(inspect with TensorBoard / xprof; SURVEY.md §5 "
@@ -119,6 +138,8 @@ def _options_from_args(args) -> FilterOptions:
     return FilterOptions(
         freq=args.frequency,
         slope=args.slope,
+        filter_type=args.filter_type,
+        freq_hi=args.frequency_high,
         normalize=args.normalize,
         verbose=args.verbose,
         num_threads=args.threads,
@@ -144,6 +165,20 @@ def _emit_metrics(metrics: dict, path, args) -> None:
 def run(argv=None) -> None:
     """Scenario logic (raises typed exceptions; `main` maps to exit codes)."""
     args = build_parser().parse_args(argv)
+
+    # Band-filter option sanity, before any JAX import is paid.
+    if args.filter_type in ("bandpass", "bandreject"):
+        if args.frequency_high is None:
+            raise UsageError(
+                f"--filter {args.filter_type} requires --frequency-high.")
+        if args.frequency_high <= args.frequency:
+            raise UsageError(
+                "--frequency-high must exceed --frequency "
+                f"({args.frequency_high} <= {args.frequency}).")
+    elif args.frequency_high is not None:
+        raise UsageError(
+            "--frequency-high only applies to --filter bandpass/bandreject.")
+
     opts = _options_from_args(args)
 
     def show_status(msg: str) -> None:
@@ -155,6 +190,18 @@ def run(argv=None) -> None:
     # Import the pipeline lazily: --help and usage errors must not pay (or
     # require) JAX/TPU initialization.
     from .pipeline import process_file
+
+    if (args.coordinator is not None or args.num_processes is not None
+            or args.process_id is not None):
+        # Multi-host launch: join the jax.distributed runtime before any
+        # device work (parallel/distributed.py).
+        from .parallel.distributed import initialize
+
+        initialize(args.coordinator, args.num_processes, args.process_id)
+        from .parallel.distributed import process_info
+
+        pi, pc = process_info()
+        show_status(f"Joined distributed runtime: process {pi}/{pc}.")
 
     if args.profile:
         # jax.profiler trace of the whole run (device ops + host timeline).

@@ -1,3 +1,13 @@
-from .fir import BandPass, BandReject, FIRFilter, HighPass, LowCut, LowPass
+from .fir import (
+    FILTER_TYPES,
+    BandPass,
+    BandReject,
+    FIRFilter,
+    HighPass,
+    LowCut,
+    LowPass,
+    make_model,
+)
 
-__all__ = ["FIRFilter", "LowCut", "HighPass", "LowPass", "BandPass", "BandReject"]
+__all__ = ["FIRFilter", "LowCut", "HighPass", "LowPass", "BandPass",
+           "BandReject", "FILTER_TYPES", "make_model"]

@@ -88,3 +88,38 @@ class BandReject(FIRFilter):
 
     def _design(self, fs: float) -> np.ndarray:
         return kd.bandreject_taps(self.f_lo / fs, self.f_hi / fs, self.kernel_order(fs))
+
+
+FILTER_TYPES = {
+    "lowcut": LowCut,
+    "highpass": HighPass,
+    "lowpass": LowPass,
+    "bandpass": BandPass,
+    "bandreject": BandReject,
+}
+
+
+def make_model(filter_type: str, freq: float, slope: float,
+               freq_hi: float | None = None) -> FIRFilter:
+    """Build a filter model from CLI-style options.
+
+    ``freq`` is the cutoff (or the band's low edge for band filters);
+    ``freq_hi`` is the band's high edge, required for bandpass/bandreject.
+    The default "lowcut" is the reference's only filter
+    (/root/reference/ProcessFile.cp:48-50); the rest are TPU-framework
+    extensions built from the same windowed-sinc primitives.
+    """
+    cls = FILTER_TYPES.get(filter_type)
+    if cls is None:
+        raise ValueError(
+            f"unknown filter type {filter_type!r} "
+            f"(use one of {', '.join(sorted(FILTER_TYPES))})")
+    if cls in (BandPass, BandReject):
+        if freq_hi is None:
+            raise ValueError(
+                f"--filter {filter_type} requires --frequency-high")
+        return cls(f_lo=freq, f_hi=freq_hi, slope=slope)
+    if freq_hi is not None:
+        raise ValueError(
+            f"--frequency-high only applies to band filters, not {filter_type}")
+    return cls(freq=freq, slope=slope)

@@ -43,7 +43,7 @@ from pathlib import Path
 import numpy as np
 
 from .. import audio
-from ..models import LowCut
+from ..models import make_model
 from ..utils.errors import FileExists
 from ..utils.options import FilterOptions
 from ..utils.progress import ProgressBar
@@ -72,7 +72,8 @@ def run_batch(inputs, dest_dir, opts: FilterOptions, *,
         if opts.verbose:
             print(msg)
 
-    model = LowCut(freq=opts.freq, slope=opts.slope)  # shared plan cache
+    model = make_model(opts.filter_type, opts.freq, opts.slope,
+                       opts.freq_hi)  # shared plan cache across the batch
     read_pool = ThreadPoolExecutor(
         max(1, min(workers, PREFETCH)), thread_name_prefix="lowcut-read")
     write_pool = ThreadPoolExecutor(

@@ -73,5 +73,6 @@ def options_fingerprint(opts) -> str:
     """Stable fingerprint of the filter-relevant options: resuming with
     different filter settings must not skip files."""
     return json.dumps(
-        [opts.freq, opts.slope, opts.normalize, opts.precision, opts.block_size]
+        [opts.filter_type, opts.freq, opts.freq_hi, opts.slope,
+         opts.normalize, opts.precision, opts.block_size]
     )

@@ -34,7 +34,7 @@ import time
 import numpy as np
 
 from .. import audio
-from ..models import LowCut
+from ..models import make_model
 from ..utils.options import FilterOptions
 from ..utils.progress import ProgressBar
 from .stream import filter_array_streamed
@@ -60,7 +60,7 @@ def process_file(input_path, output_path, opts: FilterOptions,
     fs = data.fmt.sample_rate
     show_status("Creating sinc kernel for this file's sample rate.")
     t0 = time.perf_counter()
-    model = LowCut(freq=opts.freq, slope=opts.slope)
+    model = make_model(opts.filter_type, opts.freq, opts.slope, opts.freq_hi)
     plan = model.plan(fs, precision=opts.precision, block_size=opts.block_size,
                       engine=getattr(opts, "engine", "fourstep"))
     t["design"] = time.perf_counter() - t0

@@ -30,6 +30,8 @@ class FilterOptions:
     num_threads: int = 0      # 0 -> default_num_workers(); drives host I/O workers
 
     # TPU-native extensions.
+    filter_type: str = "lowcut"  # lowcut|highpass|lowpass|bandpass|bandreject
+    freq_hi: float | None = None  # band high edge, Hz (band filters only)
     precision: str = "high"   # "high": double-float FFT path (<=1 LSB @ 24-bit)
                               # "fast": plain float32 FFT path
     engine: str = "fourstep"  # FFT engine: fourstep | pease | stockham

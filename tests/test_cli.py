@@ -198,3 +198,52 @@ def test_batch_resume_reprocesses_on_changed_options(tmp_path):
     args[args.index("-f") + 1] = "150"
     assert main([str(a), str(b), str(dest), "--resume", *args]) == 0
     assert (dest / "a.wav").stat().st_mtime_ns != mtime_a
+
+
+def test_filter_family_bandpass(tmp_path):
+    from audio_fir_filter_tpu.ops import kernel_design as kd, oracle
+
+    p = wav(tmp_path, "band.wav")
+    out = tmp_path / "band_out.wav"
+    assert main([str(p), str(out), "--filter", "bandpass", "-f", "300",
+                 "-F", "1500", "-s", "400", "--precision", "fast",
+                 "--block-size", "1024"]) == 0
+    din, dout = audio.read_audio(p), audio.read_audio(out)
+    taps = kd.bandpass_taps(300 / FS, 1500 / FS, kd.kernel_length(400 / FS))
+    ref = oracle.direct_filter(din.samples[0].astype(np.float64), taps)
+    assert oracle.max_lsb_error(dout.samples[0], ref, bits=16) <= 1.0
+
+
+def test_band_filter_requires_high_edge(tmp_path, capsys):
+    p = wav(tmp_path, "b1.wav")
+    assert main([str(p), str(tmp_path / "o.wav"),
+                 "--filter", "bandpass", *FAST]) == 1
+    assert "--frequency-high" in capsys.readouterr().err
+
+
+def test_band_edges_must_be_ordered(tmp_path, capsys):
+    p = wav(tmp_path, "b2.wav")
+    assert main([str(p), str(tmp_path / "o.wav"), "--filter", "bandreject",
+                 "-f", "500", "-F", "100", *FAST[:4]]) == 1
+    assert "must exceed" in capsys.readouterr().err
+
+
+def test_high_edge_rejected_for_lowcut(tmp_path, capsys):
+    p = wav(tmp_path, "b3.wav")
+    assert main([str(p), str(tmp_path / "o.wav"), "-F", "500", *FAST]) == 1
+    assert "only applies" in capsys.readouterr().err
+
+
+def test_resume_fingerprint_includes_filter_type(tmp_path):
+    """Resuming with a different --filter must reprocess, not skip."""
+    p1, p2 = wav(tmp_path, "fp1.wav"), wav(tmp_path, "fp2.wav")
+    dest = tmp_path / "out"
+    base = [str(p1), str(p2), str(dest), "--resume", *FAST]
+    assert main(base) == 0
+    stamp = (dest / "fp1.wav").stat().st_mtime_ns
+    # Same options: skipped (mtime unchanged).
+    assert main(base) == 0
+    assert (dest / "fp1.wav").stat().st_mtime_ns == stamp
+    # Different filter family: reprocessed (mtime advances).
+    assert main([*base, "--filter", "lowpass"]) == 0
+    assert (dest / "fp1.wav").stat().st_mtime_ns != stamp
