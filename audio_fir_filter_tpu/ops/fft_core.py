@@ -812,12 +812,52 @@ def ifft_fourstep(y, n: int, arith=ARITH_DF64):
 def fourstep_conv_real_blocks(blocks: jnp.ndarray, H2,
                               arith=ARITH_DF64) -> jnp.ndarray:
     """Circular convolution of real blocks with a real kernel, two blocks
-    per complex FFT (same contract as :func:`pease_conv_real_blocks`).
+    per complex FFT (same contract as :func:`pease_conv_real_blocks`) —
+    the PRODUCTION engine.
 
-    ``H2`` is the kernel's four-step-layout spectrum (host:
-    ``fourstep_fft_np(kernel_padded, R, C)``), [C, R] in the arith's
+    Implementation: four-step factorization with in-place DIF (forward) /
+    DIT (inverse) radix-4 row stages, Python-unrolled. Measured on v5e vs
+    the fori_loop Pease-rows variant (:func:`fourstep_pease_conv_real_blocks`,
+    bit-identical output): 1.43x faster (1.26 vs 0.88 Gsamples/s at
+    B=2^19 df64, experiments/dif_xla_micro.py). Two reasons, from the
+    production trace: (a) every DIF/DIT stage reads and writes CONTIGUOUS
+    d-row blocks — the Pease stages' single-row interleave lowered to ~40 ms
+    of `copy` ops per 3 segments, dominating the butterfly arithmetic
+    (~35 ms); (b) unrolled stages drop the fori_loop `while` bookkeeping.
+
+    ``H2`` is the kernel's DIF four-step-layout spectrum (host:
+    ``fourstep_dif_fft_np(kernel_padded, R, C)``), [C, R] in the arith's
     representation.
     """
+    nb, b = blocks.shape
+    r, c = fourstep_split(b)
+    T = _fourstep_dif_twiddle(r, c, arith.name)
+    z = arith.from_f32(blocks[0::2], blocks[1::2])  # [nb/2, B] complex
+    z = _tmap(lambda t: t.reshape(t.shape[:-1] + (r, c)), z)
+    z = fft_dif_rows(z, r, arith)                 # phase 1 fwd (rows = R)
+    z = arith.mul(z, T)
+    z = _tmap(lambda t: jnp.swapaxes(t, -1, -2), z)
+    z = fft_dif_rows(z, c, arith)                 # phase 2 fwd (rows = C)
+    z = arith.mul(z, H2)                          # spectral multiply
+    z = ifft_dit_rows(z, c, arith)                # phase 2 inv
+    z = _tmap(lambda t: jnp.swapaxes(t, -1, -2), z)
+    z = arith.mul(z, arith.conj(T))
+    z = ifft_dit_rows(z, r, arith)                # phase 1 inv
+    z = _tmap(lambda t: t.reshape(t.shape[:-2] + (b,)), z)
+    re, im = arith.to_f32(z)
+    return jnp.stack([re, im], axis=1).reshape(nb, b)
+
+
+@functools.lru_cache(maxsize=16)
+def _fourstep_dif_twiddle(r: int, c: int, arith_name: str):
+    arith = ARITH_F32 if arith_name == "f32" else ARITH_DF64
+    return arith.wrap_np(_fourstep_dif_twiddle_np(r, c))
+
+
+def fourstep_pease_conv_real_blocks(blocks: jnp.ndarray, H2,
+                                    arith=ARITH_DF64) -> jnp.ndarray:
+    """The fori_loop Pease-rows four-step variant (kept as a cross-check;
+    ``H2`` here is the PEASE four-step layout, ``fourstep_fft_np``)."""
     nb, b = blocks.shape
     z = arith.from_f32(blocks[0::2], blocks[1::2])  # [nb/2, B] complex
     Z = fft_fourstep(z, b, arith)

@@ -246,13 +246,20 @@ def test_fourstep_roundtrip_and_convolution(n, arith_name):
     x1 = rng.uniform(-1, 1, n).astype(np.float32)
     x2 = rng.uniform(-1, 1, n).astype(np.float32)
     h = rng.standard_normal(n) * np.exp(-np.arange(n) / 40.0)
-    H2 = jax.tree.map(jnp.asarray, arith.wrap_np(
+    # Production engine (DIF layout) and the Pease-rows cross-check variant.
+    H_dif = jax.tree.map(jnp.asarray, arith.wrap_np(
+        fft_core.fourstep_dif_fft_np(h, *fft_core.fourstep_split(n))))
+    H_pease = jax.tree.map(jnp.asarray, arith.wrap_np(
         fft_core.fourstep_fft_np(h, *fft_core.fourstep_split(n))))
     blocks = jnp.asarray(np.stack([x1, x2]))
     got = np.asarray(jax.jit(
-        lambda b: fft_core.fourstep_conv_real_blocks(b, H2, arith))(blocks))
-    for xi, gi in ((x1, got[0]), (x2, got[1])):
+        lambda b: fft_core.fourstep_conv_real_blocks(b, H_dif, arith))(blocks))
+    got_pease = np.asarray(jax.jit(
+        lambda b: fft_core.fourstep_pease_conv_real_blocks(
+            b, H_pease, arith))(blocks))
+    for xi, gi, gp in ((x1, got[0], got_pease[0]), (x2, got[1], got_pease[1])):
         want = np.fft.irfft(np.fft.rfft(xi.astype(np.float64)) * np.fft.rfft(h), n)
         scale = np.max(np.abs(want))
         tol = scale * (2 ** -18 if arith_name == "f32" else 2 ** -21)
         assert np.max(np.abs(gi - want)) < tol
+        assert np.max(np.abs(gp - want)) < tol
