@@ -43,6 +43,13 @@ configure_jax()
 FAST = "fast"
 HIGH = "high"
 
+# Default blocks convolved per device step (plan.conv_chunk). Measured on
+# v5e for the unrolled DIF engine at B=2^18 df64 (clean A/B,
+# experiments/retune_micro.py): chunk 16 is the sweet spot — 1.30-1.38
+# Gs/s vs 1.16 at chunk 8/24 and 0.85 at chunk 32 (per-sample cost rises
+# once the chunk working set leaves favorable residency).
+CONV_CHUNK = 16
+
 
 def _next_pow2(n: int) -> int:
     p = 1
@@ -53,16 +60,22 @@ def _next_pow2(n: int) -> int:
 
 def choose_block_size(num_taps: int, requested: int = 0,
                       min_size: int = 1 << 13, max_size: int = 1 << 21) -> int:
-    """FFT size B for kernel length T: smallest power of two >= 8*(T-1),
+    """FFT size B for kernel length T: smallest power of two >= 4*(T-1),
     clamped to [min_size, max_size] but always > 2*(T-1) so the hop L = B-M
-    stays a useful fraction of B (amortizes the FFT over >= ~75% of B)."""
+    stays a useful fraction of B.
+
+    The factor 4 puts B/M in [4, 8) — measured optimum on v5e for the
+    unrolled DIF engine (experiments/retune_micro.py + clean A/B at
+    M=38,400: B=2^18 runs ~18% faster end-to-end than 2^19 despite the
+    lower hop/B, the smaller per-chunk working set winning back more than
+    the extra FFT passes cost)."""
     m = num_taps - 1
     if requested:
         b = _next_pow2(requested)
         if b <= m:
             raise ValueError(f"block size {requested} must exceed kernel order {m}")
         return b
-    b = max(min_size, _next_pow2(8 * max(m, 1)))
+    b = max(min_size, _next_pow2(4 * max(m, 1)))
     while b > max_size and b >= 4 * _next_pow2(m + 1):
         b >>= 1
     return b
@@ -88,6 +101,10 @@ class OverlapSavePlan:
     #   geometry in a fori_loop. "stockham": unrolled autosort (slow
     #   per-process compile; kept as a cross-check).
     engine: str = "fourstep"
+    # Blocks convolved per in-jit lax.map step (see CONV_CHUNK). Part of the
+    # compiled program, hence of `static` — a bare module global here once
+    # silently went stale in the jit cache.
+    conv_chunk: int = 16
     # Frequency response in the path's arithmetic: C32 (fast) / CDF64 (high).
     H: tuple | None = dataclasses.field(default=None, compare=False)
 
@@ -106,11 +123,13 @@ class OverlapSavePlan:
     @property
     def static(self) -> tuple:
         """Hashable static half of the plan (jit static_argnums carrier)."""
-        return (self.num_taps, self.block_size, self.precision, self.engine)
+        return (self.num_taps, self.block_size, self.precision, self.engine,
+                self.conv_chunk)
 
 
 def make_plan(taps: np.ndarray, precision: str = HIGH, block_size: int = 0,
-              engine: str = "fourstep") -> OverlapSavePlan:
+              engine: str = "fourstep",
+              conv_chunk: int = CONV_CHUNK) -> OverlapSavePlan:
     taps = np.asarray(taps, dtype=np.float64)
     t = len(taps)
     if t % 2 != 1:
@@ -132,7 +151,7 @@ def make_plan(taps: np.ndarray, precision: str = HIGH, block_size: int = 0,
         raise ValueError(f"unknown engine {engine!r} "
                          "(use 'fourstep', 'pallas', 'pease' or 'stockham')")
     H = jax.tree.map(jnp.asarray, arith.wrap_np(H64))
-    return OverlapSavePlan(t, b, precision, engine, H=H)
+    return OverlapSavePlan(t, b, precision, engine, conv_chunk, H=H)
 
 
 # ----------------------------------------------------------------- core math
@@ -156,14 +175,6 @@ def _blocks_from_padded(xp: jax.Array, nb: int, hop: int, b: int) -> jax.Array:
     return jnp.concatenate(parts, axis=1)[:, :b] if k > 1 else parts[0][:, :b]
 
 
-# Real blocks convolved per device step. Measured on v5e (B=2^19, df64):
-# per-sample cost degrades ~2.6x as the batched block count grows past ~16
-# (working set leaves favorable on-chip residency), and an in-jit
-# lax.map over 8-block chunks is the sweet spot: 0.98 ns/sample vs 2.16 at
-# batch 32 and 3.1 at batch 68 (experiments/pipeline_micro.py).
-CONV_CHUNK = 8
-
-
 def _conv_blocks(blocks: jax.Array, H, precision: str, engine: str) -> jax.Array:
     """[nb(even), B] real blocks -> [nb, B] circular-convolution outputs."""
     arith = ARITH_F32 if precision == FAST else ARITH_DF64
@@ -178,24 +189,24 @@ def _conv_blocks(blocks: jax.Array, H, precision: str, engine: str) -> jax.Array
 
 
 def _filter_blocks(blocks: jax.Array, H, m: int, precision: str,
-                   engine: str) -> jax.Array:
+                   engine: str, chunk: int) -> jax.Array:
     """[nb(even), B] blocks -> [nb, L] valid outputs (FFT . *H . iFFT, slice).
 
-    Large batches are split into CONV_CHUNK-block groups processed by an
+    Large batches are split into ``chunk``-block groups processed by an
     in-jit ``lax.map`` (device-serialized, small live set), with an uneven
     tail handled by one direct call.
     """
     nb = blocks.shape[0]
-    nc, rem = divmod(nb, CONV_CHUNK)
+    nc, rem = divmod(nb, chunk)
     if nc <= 1:
         y = _conv_blocks(blocks, H, precision, engine)
     else:
-        head = blocks[: nc * CONV_CHUNK].reshape(nc, CONV_CHUNK, blocks.shape[1])
+        head = blocks[: nc * chunk].reshape(nc, chunk, blocks.shape[1])
         yh = jax.lax.map(
             lambda c: _conv_blocks(c, H, precision, engine), head)
-        yh = yh.reshape(nc * CONV_CHUNK, blocks.shape[1])
+        yh = yh.reshape(nc * chunk, blocks.shape[1])
         if rem:
-            yt = _conv_blocks(blocks[nc * CONV_CHUNK :], H, precision, engine)
+            yt = _conv_blocks(blocks[nc * chunk :], H, precision, engine)
             y = jnp.concatenate([yh, yt], axis=0)
         else:
             y = yh
@@ -204,7 +215,7 @@ def _filter_blocks(blocks: jax.Array, H, m: int, precision: str,
 
 def _same_filter_impl(x: jax.Array, plan_static: tuple, H) -> jax.Array:
     """Zero-padded 'same' filtering of [C, N] (N static). Core jit body."""
-    t, b, precision, engine = plan_static
+    t, b, precision, engine, chunk = plan_static
     m, mo2, hop = t - 1, (t - 1) // 2, b - (t - 1)
     c, n = x.shape
     nb = -(-n // hop)  # ceil
@@ -222,7 +233,8 @@ def _same_filter_impl(x: jax.Array, plan_static: tuple, H) -> jax.Array:
     # channel boundary is fine — conv with a real kernel is real-linear
     # per block regardless of which channel a block came from.
     blocks = jax.vmap(lambda xc: _blocks_from_padded(xc, nb, hop, b))(xp)
-    yb = _filter_blocks(blocks.reshape(c * nb, b), H, m, precision, engine)
+    yb = _filter_blocks(blocks.reshape(c * nb, b), H, m, precision, engine,
+                        chunk)
     return yb.reshape(c, nb * hop)[:, :n]
 
 

@@ -23,15 +23,15 @@ from ..ops import overlap_save as osv
 def default_segment_len(plan: osv.OverlapSavePlan, target: int = 1 << 24) -> int:
     """Segment body length: a multiple of the hop near ``target`` samples,
     aligned so the extended segment blocks into an exact multiple of the
-    engine's CONV_CHUNK (no leftover-tail conv graph: a k-hop body plus
+    plan's conv_chunk (no leftover-tail conv graph: a k-hop body plus
     halos yields round_even(k+1) overlap-save blocks)."""
     # Target measured on the axon TPU: fixed ~30 ms dispatch overhead per
-    # device call vs ~1.3 ns/sample marginal cost — large segments amortize
+    # device call vs ~1 ns/sample marginal cost — large segments amortize
     # the fixed cost (16M samples/call -> overhead < 20% of runtime).
     k = max(1, target // plan.hop)
-    ch = osv.CONV_CHUNK
+    ch = plan.conv_chunk
     nb = (k + 2) & ~1  # round_even(k + 1)
-    k += -nb % ch  # lift so round_even(k+1) is a CONV_CHUNK multiple
+    k += -nb % ch  # lift so round_even(k+1) is a conv_chunk multiple
     return k * plan.hop
 
 

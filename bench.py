@@ -167,9 +167,9 @@ def main() -> int:
     ap.add_argument("--sample-rate", type=float, default=96000.0)
     ap.add_argument("--channels", type=int, default=2)
     ap.add_argument("--block-size", type=int, default=0)
-    ap.add_argument("--segment-blocks", type=int, default=31,
-                    help="hops per timed segment (default 31: the extended "
-                         "segment then blocks into exactly 32 = 4*CONV_CHUNK "
+    ap.add_argument("--segment-blocks", type=int, default=63,
+                    help="hops per timed segment (default 63: the extended "
+                         "segment then blocks into exactly 64 = 4*conv_chunk "
                          "overlap-save blocks, no leftover-tail conv)")
     ap.add_argument("--all", action="store_true",
                     help="also run the BASELINE.json config kernels (stderr)")

@@ -29,7 +29,7 @@ def make_case(n, fc=0.05, bw=0.02, seed=0, channels=None):
 
 
 def test_choose_block_size():
-    assert osv.choose_block_size(17641) == 1 << 18   # 8*17640 -> 2^18
+    assert osv.choose_block_size(17641) == 1 << 17   # 4*17640 -> 2^17
     assert osv.choose_block_size(401) == 1 << 13     # min clamp
     assert osv.choose_block_size(401, requested=4096) == 4096
     with pytest.raises(ValueError):
