@@ -106,6 +106,21 @@ def test_auto_normalize_on_clip(tmp_path):
     assert peak <= 1.0  # never clipped output in any case
 
 
+def test_deterministic_output_bytes(tmp_path):
+    """SURVEY.md §5 (race detection): XLA's functional model replaces the
+    reference's thread-safety-by-construction; what we assert instead is
+    determinism — the same input produces byte-identical output files
+    across independent runs."""
+    meta = Chunk(b"bext", b"stamp")
+    p, _ = make_input(tmp_path, extra=[meta])
+    outs = []
+    for i in range(2):
+        out = tmp_path / f"det{i}.wav"
+        process_file(p, out, FilterOptions(**OPTS), show_progress=False)
+        outs.append(out.read_bytes())
+    assert outs[0] == outs[1]
+
+
 def test_explicit_normalize(tmp_path):
     p, _ = make_input(tmp_path, scale=0.1)
     out = tmp_path / "n.wav"
