@@ -127,6 +127,18 @@ def mul_pow2(x: DF64, c: float) -> DF64:
     return DF64(x.hi * c, x.lo * c)
 
 
+def mul_dconst(x: DF64, c_hi: float, c_lo: float) -> DF64:
+    """Multiply by a double-float CONSTANT c = c_hi + c_lo (e.g. 1/sqrt(2)).
+
+    Same accuracy as :func:`mul` (drops only the lo*lo term); cheaper
+    because the constant's Dekker split folds at compile time.
+    """
+    c_hi = jnp.float32(c_hi)
+    p, e = _two_prod(x.hi, c_hi)
+    e = e + (x.hi * jnp.float32(c_lo) + x.lo * c_hi)
+    return DF64(*_quick_two_sum(p, e))
+
+
 # ------------------------------------------------------------- complex ops
 
 class CDF64(NamedTuple):

@@ -102,6 +102,11 @@ class _ArithF32:
         c = jnp.float32(c)
         return C32(a.re * c, a.im * c)
 
+    @staticmethod
+    def mul_rsqrt2(a):
+        s = jnp.float32(_RSQRT2_64)
+        return C32(a.re * s, a.im * s)
+
 
 class _ArithDF64:
     """Complex ops on CDF64 (double-float pairs, ~49-bit mantissa)."""
@@ -128,9 +133,48 @@ class _ArithDF64:
     def mul_neg_i(a):
         return dd.cneg_im(a)
 
+    @staticmethod
+    def mul_rsqrt2(a):
+        return dd.CDF64(dd.mul_dconst(a.re, _RSQRT2_HI, _RSQRT2_LO),
+                        dd.mul_dconst(a.im, _RSQRT2_HI, _RSQRT2_LO))
+
 
 ARITH_F32 = _ArithF32
 ARITH_DF64 = _ArithDF64
+
+# 1/sqrt(2) as a double-float constant (for the radix-8 omega_8 rotations).
+_RSQRT2_64 = 1.0 / np.sqrt(2.0)
+_RSQRT2_HI = float(np.float32(_RSQRT2_64))
+_RSQRT2_LO = float(np.float64(_RSQRT2_64) - np.float64(np.float32(_RSQRT2_64)))
+
+
+def _w8_1(a, arith):
+    """a * omega_8 = a * (1 - i)/sqrt(2)   (forward)."""
+    v = arith.mul_neg_i(a)  # (im, -re)
+    return arith.mul_rsqrt2(arith.add(a, v))
+
+
+def _w8_3(a, arith):
+    """a * omega_8^3 = a * (-1 - i)/sqrt(2)   (forward)."""
+    v = arith.mul_neg_i(a)
+    return arith.mul_rsqrt2(arith.sub(v, a))
+
+
+def _w8_1c(a, arith):
+    """a * conj(omega_8) = a * (1 + i)/sqrt(2)   (inverse)."""
+    v = arith.mul_neg_i(a)
+    return arith.mul_rsqrt2(arith.sub(a, v))
+
+
+def _w8_3c(a, arith):
+    """a * conj(omega_8^3) = a * (-1 + i)/sqrt(2)   (inverse)."""
+    v = arith.mul_neg_i(a)
+    return arith.mul_rsqrt2(arith.mul_pow2(arith.add(a, v), -1.0))
+
+
+def _mul_pos_i(a, arith):
+    """a * i = -((-i) * a)."""
+    return arith.mul_neg_i(arith.mul_pow2(a, -1.0))
 
 
 # ----------------------------------------------------------------- twiddles
@@ -449,8 +493,18 @@ host-side spectrum layout (``dif_sigma``).
 
 @functools.lru_cache(maxsize=64)
 def dif_plan(n: int):
-    """Stages outermost-first: optional leading radix-2, then radix-4.
-    Tuple of ("r2"|"r4", d) with d the intra-group block length."""
+    """PRODUCTION stage plan, outermost-first: optional leading radix-2,
+    then radix-4. Tuple of ("r2"|"r4"|"r8", d) with d the intra-group
+    block length.
+
+    Radix-4 is a measured choice, not an oversight: the radix-8-greedy
+    plan (:func:`dif_plan_r8`) has 3 stages per 512-point phase instead
+    of 5 and ~10% fewer df64 flops, yet runs 1.64x SLOWER end-to-end
+    (interleaved same-process A/B at B=2^18 df64 on v5e: 0.70 vs 1.15
+    ns/sample, experiments/r8_micro.py). The engine is not bound by
+    per-stage HBM passes — XLA fuses across the narrow r4 stage chain,
+    and the r8 butterfly's wide live set breaks that schedule.
+    """
     L = n.bit_length() - 1
     stages = []
     if L % 2 == 1:
@@ -463,59 +517,84 @@ def dif_plan(n: int):
 
 
 @functools.lru_cache(maxsize=64)
-def dif_tables_np(n: int):
-    """Per-stage twiddles, [d, 1]: r2 -> (w,); r4 -> (w1, w2, w3)."""
+def dif_plan_r8(n: int):
+    """Minimal-stage-count plan (ceil(L/3)): radix-8 greedy, radix-4 (and
+    radix-2 only for n=2) absorbing the remainder. Kept as a selectable,
+    tested variant; measured slower than :func:`dif_plan` on v5e (see
+    there). Pass as ``plan=`` to the dif/dit entry points."""
+    L = n.bit_length() - 1
+    if L == 0:
+        return ()
+    n8, n4, n2 = 0, 0, 0
+    if L % 3 == 0:
+        n8 = L // 3
+    elif L % 3 == 2:
+        n8, n4 = L // 3, 1
+    elif L >= 4:          # L % 3 == 1
+        n8, n4 = (L - 4) // 3, 2
+    else:                 # L == 1
+        n2 = 1
+    stages = []
+    for kind, lg, cnt in (("r8", 3, n8), ("r4", 2, n4), ("r2", 1, n2)):
+        for _ in range(cnt):
+            stages.append((kind, n >> lg))
+            n >>= lg
+    return tuple(stages)
+
+
+@functools.lru_cache(maxsize=64)
+def dif_tables_np(n: int, plan=None):
+    """Per-stage output twiddles w_r[j] = exp(-2*pi*i*r*j/(radix*d)),
+    shaped [d, 1]: r2 -> (w1,); r4 -> (w1, w2, w3); r8 -> (w1..w7).
+    A d == 1 stage's twiddles are all exactly 1 — the device stages skip
+    the multiply entirely (tables still emitted for mirror symmetry)."""
     out = []
-    for kind, d in dif_plan(n):
+    for kind, d in plan if plan is not None else dif_plan(n):
         j = np.arange(d, dtype=np.float64)[:, None]
-        if kind == "r2":
-            out.append((np.exp(-1j * np.pi * j / d),))
-        else:
-            g = 4 * d
-            out.append(tuple(
-                np.exp(-2j * np.pi * r * j / g) for r in (1, 2, 3)))
+        radix = {"r2": 2, "r4": 4, "r8": 8}[kind]
+        g = radix * d
+        out.append(tuple(
+            np.exp(-2j * np.pi * r * j / g) for r in range(1, radix)))
     return tuple(out)
 
 
 @functools.lru_cache(maxsize=64)
-def dif_tables(n: int, arith_name: str):
+def dif_tables(n: int, arith_name: str, plan=None):
     arith = ARITH_F32 if arith_name == "f32" else ARITH_DF64
     return tuple(tuple(arith.wrap_np(w) for w in ws)
-                 for ws in dif_tables_np(n))
+                 for ws in dif_tables_np(n, plan))
 
 
-def dif_fft_np(x64: np.ndarray) -> np.ndarray:
-    """Host float64 mirror (digit-reversed output order), last axis."""
+def dif_fft_np(x64: np.ndarray, plan=None) -> np.ndarray:
+    """Host float64 mirror (digit-reversed output order), last axis.
+
+    Stage r's output block is DFT_radix(a)[r] * w_r — computed here with a
+    dense radix-point DFT matrix (float64; the device stages use the
+    factored butterfly, which is algebraically identical)."""
     x = np.asarray(x64, complex).copy()
     n = x.shape[-1]
-    for (kind, d), ws in zip(dif_plan(n), dif_tables_np(n)):
-        if kind == "r2":
-            v = x.reshape(x.shape[:-1] + (-1, 2, d))
-            a, b = v[..., 0, :], v[..., 1, :]
-            x = np.stack([a + b, (a - b) * ws[0][:, 0]],
-                         axis=-2).reshape(x.shape)
-        else:
-            v = x.reshape(x.shape[:-1] + (-1, 4, d))
-            a, b, c, e = (v[..., i, :] for i in range(4))
-            t0, t1 = a + c, a - c
-            t2, t3 = b + e, -1j * (b - e)
-            x = np.stack([
-                t0 + t2,
-                (t1 + t3) * ws[0][:, 0],
-                (t0 - t2) * ws[1][:, 0],
-                (t1 - t3) * ws[2][:, 0],
-            ], axis=-2).reshape(x.shape)
+    if plan is None:
+        plan = dif_plan(n)
+    for (kind, d), ws in zip(plan, dif_tables_np(n, plan)):
+        radix = {"r2": 2, "r4": 4, "r8": 8}[kind]
+        rq = np.arange(radix)
+        W = np.exp(-2j * np.pi * rq[:, None] * rq[None, :] / radix)
+        v = x.reshape(x.shape[:-1] + (-1, radix, d))
+        y = np.einsum("rq,...gqd->...grd", W, v)
+        for r in range(1, radix):
+            y[..., r, :] = y[..., r, :] * ws[r - 1][:, 0]
+        x = y.reshape(x.shape)
     return x
 
 
 @functools.lru_cache(maxsize=32)
-def dif_sigma(n: int) -> np.ndarray:
+def dif_sigma(n: int, plan=None) -> np.ndarray:
     """Permutation with dif_fft_np(x)[i] == DFT(x)[dif_sigma(i)] (same
     delta-function recovery as :func:`pease_sigma`)."""
     x = np.zeros(n)
     if n > 1:
         x[1] = 1.0
-        y = dif_fft_np(x)
+        y = dif_fft_np(x, plan)
         sig = np.round(-np.angle(y) * n / (2 * np.pi)).astype(np.int64) % n
     else:
         sig = np.zeros(1, np.int64)
@@ -523,81 +602,121 @@ def dif_sigma(n: int) -> np.ndarray:
     return sig
 
 
-def fft_dif_rows(z, n: int, arith=ARITH_DF64, tabs=None):
+def fft_dif_rows(z, n: int, arith=ARITH_DF64, tabs=None, plan=None):
     """In-place DIF along axis -2 of [..., n, V]; digit-reversed rows out.
 
     ``tabs`` defaults to embedded host constants; Pallas callers pass the
-    loaded table values instead."""
+    loaded table values instead. A d == 1 stage's twiddles are exactly 1,
+    so its multiplies are skipped (XLA does not fold a mul by a
+    materialized all-ones array)."""
+    if plan is None:
+        plan = dif_plan(n)
     if tabs is None:
-        tabs = dif_tables(n, arith.name)
-    for (kind, d), ws in zip(dif_plan(n), tabs):
+        tabs = dif_tables(n, arith.name, plan)
+    for (kind, d), ws in zip(plan, tabs):
         shp = jax.tree.leaves(z)[0].shape
 
         def back(*parts):
             return _tmap(
                 lambda *ps: jnp.stack(ps, axis=-3).reshape(shp), *parts)
 
+        def tw(y, r):
+            return y if d == 1 else arith.mul(y, ws[r - 1])
+
+        radix = {"r2": 2, "r4": 4, "r8": 8}[kind]
+        v = _tmap(lambda t: t.reshape(
+            t.shape[:-2] + (-1, radix, d, t.shape[-1])), z)
+        part = [_tmap(lambda t, q=q: t[..., q, :, :], v)
+                for q in range(radix)]
+
         if kind == "r2":
-            v = _tmap(lambda t: t.reshape(
-                t.shape[:-2] + (-1, 2, d, t.shape[-1])), z)
-            a = _tmap(lambda t: t[..., 0, :, :], v)
-            b = _tmap(lambda t: t[..., 1, :, :], v)
-            z = back(arith.add(a, b), arith.mul(arith.sub(a, b), ws[0]))
-        else:
-            v = _tmap(lambda t: t.reshape(
-                t.shape[:-2] + (-1, 4, d, t.shape[-1])), z)
-            a = _tmap(lambda t: t[..., 0, :, :], v)
-            b = _tmap(lambda t: t[..., 1, :, :], v)
-            c = _tmap(lambda t: t[..., 2, :, :], v)
-            e = _tmap(lambda t: t[..., 3, :, :], v)
+            a, b = part
+            z = back(arith.add(a, b), tw(arith.sub(a, b), 1))
+        elif kind == "r4":
+            a, b, c, e = part
             t0, t1 = arith.add(a, c), arith.sub(a, c)
             t2 = arith.add(b, e)
             t3 = arith.mul_neg_i(arith.sub(b, e))
             z = back(
                 arith.add(t0, t2),
-                arith.mul(arith.add(t1, t3), ws[0]),
-                arith.mul(arith.sub(t0, t2), ws[1]),
-                arith.mul(arith.sub(t1, t3), ws[2]),
+                tw(arith.add(t1, t3), 1),
+                tw(arith.sub(t0, t2), 2),
+                tw(arith.sub(t1, t3), 3),
             )
+        else:
+            # Radix-8 DIF butterfly: y_r = DFT_8(a)[r], then *w_r.
+            b0 = [arith.add(part[q], part[q + 4]) for q in range(4)]
+            b1 = [arith.sub(part[q], part[q + 4]) for q in range(4)]
+            # even outputs: DFT_4 of b0
+            c0, c1 = arith.add(b0[0], b0[2]), arith.sub(b0[0], b0[2])
+            c2 = arith.add(b0[1], b0[3])
+            c3 = arith.mul_neg_i(arith.sub(b0[1], b0[3]))
+            y0, y2 = arith.add(c0, c2), arith.add(c1, c3)
+            y4, y6 = arith.sub(c0, c2), arith.sub(c1, c3)
+            # odd outputs: DFT_4 of (omega_8^q * b1[q])
+            d0 = b1[0]
+            d1 = _w8_1(b1[1], arith)
+            d2 = arith.mul_neg_i(b1[2])
+            d3 = _w8_3(b1[3], arith)
+            e0, e1 = arith.add(d0, d2), arith.sub(d0, d2)
+            e2 = arith.add(d1, d3)
+            e3 = arith.mul_neg_i(arith.sub(d1, d3))
+            y1, y3 = arith.add(e0, e2), arith.add(e1, e3)
+            y5, y7 = arith.sub(e0, e2), arith.sub(e1, e3)
+            z = back(y0, tw(y1, 1), tw(y2, 2), tw(y3, 3),
+                     tw(y4, 4), tw(y5, 5), tw(y6, 6), tw(y7, 7))
     return z
 
 
-def ifft_dit_rows(y, n: int, arith=ARITH_DF64, tabs=None):
+def ifft_dit_rows(y, n: int, arith=ARITH_DF64, tabs=None, plan=None):
     """Inverse of :func:`fft_dif_rows`: digit-reversed rows in, natural
     out, 1/n scaling included. Contiguous block accesses in every stage."""
+    if plan is None:
+        plan = dif_plan(n)
     if tabs is None:
-        tabs = dif_tables(n, arith.name)
-    for (kind, d), ws in zip(reversed(dif_plan(n)), reversed(tabs)):
+        tabs = dif_tables(n, arith.name, plan)
+    for (kind, d), ws in zip(reversed(plan), reversed(tabs)):
         shp = jax.tree.leaves(y)[0].shape
 
         def back(*parts):
             return _tmap(
                 lambda *ps: jnp.stack(ps, axis=-3).reshape(shp), *parts)
 
+        radix = {"r2": 2, "r4": 4, "r8": 8}[kind]
+        v = _tmap(lambda t: t.reshape(
+            t.shape[:-2] + (-1, radix, d, t.shape[-1])), y)
+        # u_r = in_r * conj(w_r); a d == 1 stage's twiddles are exactly 1.
+        u = [_tmap(lambda t, r=r: t[..., r, :, :], v) for r in range(radix)]
+        if d > 1:
+            u = [u[0]] + [arith.mul(u[r], arith.conj(ws[r - 1]))
+                          for r in range(1, radix)]
+
         if kind == "r2":
-            v = _tmap(lambda t: t.reshape(
-                t.shape[:-2] + (-1, 2, d, t.shape[-1])), y)
-            a = _tmap(lambda t: t[..., 0, :, :], v)
-            b = arith.mul(_tmap(lambda t: t[..., 1, :, :], v),
-                          arith.conj(ws[0]))
-            y = back(arith.add(a, b), arith.sub(a, b))
-        else:
-            v = _tmap(lambda t: t.reshape(
-                t.shape[:-2] + (-1, 4, d, t.shape[-1])), y)
-            u0 = _tmap(lambda t: t[..., 0, :, :], v)
-            u1 = arith.mul(_tmap(lambda t: t[..., 1, :, :], v),
-                           arith.conj(ws[0]))
-            u2 = arith.mul(_tmap(lambda t: t[..., 2, :, :], v),
-                           arith.conj(ws[1]))
-            u3 = arith.mul(_tmap(lambda t: t[..., 3, :, :], v),
-                           arith.conj(ws[2]))
-            s0, d0 = arith.add(u0, u2), arith.sub(u0, u2)
-            s1, d1 = arith.add(u1, u3), arith.sub(u1, u3)
-            id1 = arith.mul_neg_i(arith.mul_pow2(d1, -1.0))  # i * d1
+            y = back(arith.add(u[0], u[1]), arith.sub(u[0], u[1]))
+        elif kind == "r4":
+            s0, d0 = arith.add(u[0], u[2]), arith.sub(u[0], u[2])
+            s1, d1 = arith.add(u[1], u[3]), arith.sub(u[1], u[3])
+            id1 = _mul_pos_i(d1, arith)
             y = back(
                 arith.add(s0, s1), arith.add(d0, id1),
                 arith.sub(s0, s1), arith.sub(d0, id1),
             )
+        else:
+            # Radix-8 DIT: a_m = IDFT_4(even u)[m] + omega_8^{+m} IDFT_4(odd
+            # u)[m] (and - for m+4).
+            def idft4(v0, v1, v2, v3):
+                s0, d0 = arith.add(v0, v2), arith.sub(v0, v2)
+                s1 = arith.add(v1, v3)
+                id1 = _mul_pos_i(arith.sub(v1, v3), arith)
+                return (arith.add(s0, s1), arith.add(d0, id1),
+                        arith.sub(s0, s1), arith.sub(d0, id1))
+
+            p = idft4(u[0], u[2], u[4], u[6])
+            q = idft4(u[1], u[3], u[5], u[7])
+            t = (q[0], _w8_1c(q[1], arith), _mul_pos_i(q[2], arith),
+                 _w8_3c(q[3], arith))
+            y = back(*[arith.add(p[m], t[m]) for m in range(4)],
+                     *[arith.sub(p[m], t[m]) for m in range(4)])
     return arith.mul_pow2(y, 1.0 / n)
 
 

@@ -110,14 +110,22 @@ def roofline_report(plan, chip_rate: float) -> None:
     b = plan.block_size
     r, c = fc.fourstep_split(b)
     CADD, CMUL = 22.0, 102.0
+    W8MUL = 62.0  # omega_8 rotation: complex add + two dconst muls
 
     def stage_flops(n):
+        """Per-point f32-flops and stage count of the DIF plan (radix-8
+        greedy, ops/fft_core.py dif_plan). Twiddle muls skipped at d=1."""
         f = 0.0
-        has_r2, dones = fc._pease_plan(n)
-        if has_r2:
-            f += (2 * CADD + 1 * CMUL) / 2      # per point
-        f += len(dones) * (8 * CADD + 3 * CMUL) / 4
-        return f, (1 if has_r2 else 0) + len(dones)
+        stages = fc.dif_plan(n)
+        for kind, d in stages:
+            ntw = {"r2": 1, "r4": 3, "r8": 7}[kind] if d > 1 else 0
+            if kind == "r2":
+                f += (2 * CADD + ntw * CMUL) / 2
+            elif kind == "r4":
+                f += (8 * CADD + ntw * CMUL) / 4
+            else:  # r8: 24 cadds + 2 omega_8 rotations + twiddles
+                f += (24 * CADD + 2 * W8MUL + ntw * CMUL) / 8
+        return f, len(stages)
 
     f_r, s_r = stage_flops(r)
     f_c, s_c = stage_flops(c)

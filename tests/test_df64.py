@@ -194,24 +194,36 @@ def test_dif_fft_np_is_permuted_dft_and_sigma_exact():
 
 
 @pytest.mark.parametrize("n", [64, 512])
-def test_dif_rows_roundtrip_matches_mirror(n):
-    """Device DIF rows fwd == host mirror; DIT inverse restores input."""
+@pytest.mark.parametrize("plan_name", ["r4", "r8"])
+def test_dif_rows_roundtrip_matches_mirror(n, plan_name):
+    """Device DIF rows fwd == host mirror; DIT inverse restores input.
+
+    Covers both the production r2+r4 plan and the radix-8-greedy variant
+    (dif_plan_r8 — selectable, measured slower on v5e but kept correct)."""
     from audio_fir_filter_tpu.ops import fft_core
 
+    plan = (fft_core.dif_plan(n) if plan_name == "r4"
+            else fft_core.dif_plan_r8(n))
+    if plan_name == "r8":
+        assert any(kind == "r8" for kind, _ in plan)
     arith = fft_core.ARITH_DF64
     rng = np.random.default_rng(31)
     v = 8
     xr = rng.standard_normal((2, n, v)).astype(np.float32)
     xi = rng.standard_normal((2, n, v)).astype(np.float32)
     z = arith.from_f32(jnp.asarray(xr), jnp.asarray(xi))
-    Z = jax.jit(lambda t: fft_core.fft_dif_rows(t, n, arith))(z)
+    Z = jax.jit(lambda t: fft_core.fft_dif_rows(t, n, arith, plan=plan))(z)
     got = (np.asarray(Z.re.hi + Z.re.lo)
            + 1j * np.asarray(Z.im.hi + Z.im.lo))
     want = fft_core.dif_fft_np(
-        (xr + 1j * xi).transpose(0, 2, 1)).transpose(0, 2, 1)
+        (xr + 1j * xi).transpose(0, 2, 1), plan).transpose(0, 2, 1)
     assert np.abs(got - want).max() < 1e-5 * np.abs(want).max()
+    # sigma must be a valid permutation for this plan too.
+    sig = fft_core.dif_sigma(n, plan)
+    assert len(np.unique(sig)) == n
     back = jax.jit(lambda t: fft_core.ifft_dit_rows(
-        fft_core.fft_dif_rows(t, n, arith), n, arith))(z)
+        fft_core.fft_dif_rows(t, n, arith, plan=plan), n, arith,
+        plan=plan))(z)
     np.testing.assert_allclose(
         np.asarray(back.re.hi + back.re.lo), xr, rtol=0, atol=1e-5)
 
