@@ -61,17 +61,15 @@ def measure_chip_rate(freq: float, slope: float, fs: float, channels: int,
     log(f"segment: {channels} ch x {seg} frames ({seg / fs:.1f}s of audio) "
         f"+ {plan.m} halo")
 
-    # The dev tunnel moves incompressible data at ~1 MB/s; FFT timing is
-    # data-independent, so stage a small random tile and build the full
-    # segment on device (one tiny jit), instead of shipping ~120 MiB.
+    # The dev tunnel moves incompressible data at ~1 MB/s (and stalls for
+    # minutes under load); FFT timing is data-independent, so the segment
+    # is generated ENTIRELY ON DEVICE — nothing crosses the tunnel but the
+    # 8-sample fences.
     t0 = time.perf_counter()
-    tile = (0.3 * rng.standard_normal((channels, 1 << 18))).astype(np.float32)
-    td = jax.device_put(tile)
-    reps_needed = -(-(seg + plan.m) // tile.shape[1])
-    xd = jax.jit(
-        lambda t: jnp.tile(t, (1, reps_needed))[:, : seg + plan.m])(td)
+    xd = jax.jit(lambda k: 0.3 * jax.random.normal(
+        k, (channels, seg + plan.m), jnp.float32))(jax.random.key(0))
     np.asarray(xd[0, :8])  # fence
-    log(f"stage+expand to device: {time.perf_counter() - t0:.1f}s")
+    log(f"generate segment on device: {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
     y = osv.extended_filter(xd, plan, seg)
