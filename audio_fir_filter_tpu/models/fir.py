@@ -42,7 +42,8 @@ class FIRFilter:
         return self._design(fs)
 
     def plan(self, fs: float, precision: str = osv.HIGH,
-             block_size: int = 0, engine: str = "pease") -> osv.OverlapSavePlan:
+             block_size: int = 0,
+             engine: str = "fourstep") -> osv.OverlapSavePlan:
         key = (fs, precision, block_size, engine)
         cache = object.__getattribute__(self, "__dict__").setdefault("_plans", {})
         if key not in cache:
