@@ -27,6 +27,16 @@ All complex values are explicit (re, im) plane pytrees in the engine's
 arithmetic (C32 or CDF64 — df64 ops are plain jnp ops and run inside
 Pallas unchanged, ops/df64.py).
 
+STATUS (measured, not the default): at production size (B=2^18 df64,
+chunk 16) this path runs 4.5x SLOWER than the XLA ``fourstep`` engine on
+v5e (experiments/engine_compare.py: 283 vs 1260 Ms/s raw; fourstep's
+sum-of-parts is ~5.4x its fused time, experiments/where_time.py — XLA
+already fuses the stage chain so aggressively that the HBM-pass savings
+this kernel buys back are smaller than Mosaic's lowering overhead on the
+stage bodies). Kept as a selectable engine (``--engine pallas``) and as
+the scaffold for future Mosaic work; ``fourstep`` is the production
+default.
+
 Reference parity: this is the TPU-native replacement for the reference's
 direct-convolution hot loop /root/reference/FilterCore.h:64-69.
 """
