@@ -74,8 +74,9 @@ def decode(data: bytes, fmt: AudioFormat) -> np.ndarray:
 
     native = _get_native()
     if native is not None and enc in (Encoding.PCM_16, Encoding.PCM_24):
-        flat = native.decode(raw, enc.bits, be)
-    elif enc == Encoding.PCM_16:
+        # Fused codec + deinterleave, one pass (C++, threaded, GIL released).
+        return native.decode_planar(raw, ch, enc.bits, be)
+    if enc == Encoding.PCM_16:
         dt = ">i2" if be else "<i2"
         flat = raw.view(dt).astype(np.float32) * np.float32(1.0 / 32768.0)
     elif enc == Encoding.PCM_24:
@@ -107,11 +108,14 @@ def encode(samples: np.ndarray, fmt: AudioFormat) -> bytes:
     if samples.ndim != 2:
         raise AudioFormatError("samples must be [channels, frames]")
     be = fmt.big_endian_samples
-    interleaved = np.ascontiguousarray(samples.T).reshape(-1)
 
     native = _get_native()
     if native is not None and enc in (Encoding.PCM_16, Encoding.PCM_24):
-        return native.encode(interleaved.astype(np.float32), enc.bits, be)
+        # Fused interleave + quantize, one pass (C++, threaded, GIL released).
+        return native.encode_planar(
+            np.asarray(samples, dtype=np.float32), enc.bits, be)
+
+    interleaved = np.ascontiguousarray(samples.T).reshape(-1)
 
     if enc in (Encoding.PCM_16, Encoding.PCM_24, Encoding.PCM_32, Encoding.PCM_S8):
         full = float(1 << (enc.bits - 1))

@@ -93,3 +93,135 @@ float peak_abs_f32(const float* in, int64_t n) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused planar paths: codec + (de)interleave in ONE pass over the bytes,
+// fanned out across std::threads over contiguous frame ranges — the host
+// analog of the reference's per-channel thread fan-out
+// (/root/reference/ProcessFile.cp:60-83). The Python layer previously paid
+// a separate NumPy transpose pass for the planar<->interleaved relayout;
+// these read/write it in place. Thread ranges touch disjoint output bytes,
+// so no synchronization beyond join (same safety-by-construction argument
+// as the reference's range split). ctypes releases the GIL for the call,
+// so batch-mode reader/writer workers overlap fully with these.
+
+#include <algorithm>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// Default fan-out: floor(0.7 x cores), fallback 4 — the reference's thread
+// default (/root/reference/main.cp:75-76) — capped by work size.
+int resolve_threads(int requested, int64_t frames) {
+    int t = requested;
+    if (t <= 0) {
+        unsigned hc = std::thread::hardware_concurrency();
+        t = hc ? static_cast<int>(hc * 0.7) : 4;
+    }
+    // At least ~64k frames per thread, or the spawn cost dominates.
+    int64_t max_useful = std::max<int64_t>(1, frames / 65536);
+    return static_cast<int>(std::min<int64_t>(t, max_useful));
+}
+
+template <typename Fn>
+void parallel_frames(int64_t frames, int threads, Fn fn) {
+    int t = resolve_threads(threads, frames);
+    if (t <= 1) {
+        fn(0, frames);
+        return;
+    }
+    std::vector<std::thread> pool;
+    pool.reserve(t);
+    int64_t chunk = frames / t;
+    for (int i = 0; i < t; ++i) {
+        int64_t lo = i * chunk;
+        int64_t hi = (i == t - 1) ? frames : lo + chunk;
+        pool.emplace_back([=] { fn(lo, hi); });
+    }
+    for (auto& th : pool) th.join();
+}
+
+inline int32_t load_pcm(const uint8_t* p, int bps, bool be) {
+    if (bps == 2) {
+        return be ? static_cast<int16_t>((p[0] << 8) | p[1])
+                  : static_cast<int16_t>(p[0] | (p[1] << 8));
+    }
+    int32_t v = be ? ((p[0] << 16) | (p[1] << 8) | p[2])
+                   : (p[0] | (p[1] << 8) | (p[2] << 16));
+    return (v ^ 0x800000) - 0x800000;  // sign-extend bit 23
+}
+
+inline void store_pcm(uint8_t* p, int32_t v, int bps, bool be) {
+    if (bps == 2) {
+        if (be) {
+            p[0] = static_cast<uint8_t>((v >> 8) & 0xFF);
+            p[1] = static_cast<uint8_t>(v & 0xFF);
+        } else {
+            p[0] = static_cast<uint8_t>(v & 0xFF);
+            p[1] = static_cast<uint8_t>((v >> 8) & 0xFF);
+        }
+    } else if (be) {
+        p[0] = static_cast<uint8_t>((v >> 16) & 0xFF);
+        p[1] = static_cast<uint8_t>((v >> 8) & 0xFF);
+        p[2] = static_cast<uint8_t>(v & 0xFF);
+    } else {
+        p[0] = static_cast<uint8_t>(v & 0xFF);
+        p[1] = static_cast<uint8_t>((v >> 8) & 0xFF);
+        p[2] = static_cast<uint8_t>((v >> 16) & 0xFF);
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Interleaved PCM bytes -> planar float32 [channels][frames].
+// bits in {16, 24}; threads <= 0 means the reference's 0.7 x cores default.
+void decode_pcm_planar(const uint8_t* in, int64_t frames, int channels,
+                       int bits, int big_endian, int threads, float* out) {
+    const int bps = bits / 8;
+    const float scale = bits == 16 ? (1.0f / 32768.0f) : (1.0f / 8388608.0f);
+    const bool be = big_endian != 0;
+    parallel_frames(frames, threads, [=](int64_t lo, int64_t hi) {
+        for (int c = 0; c < channels; ++c) {
+            const uint8_t* src = in + (lo * channels + c) * bps;
+            float* dst = out + c * frames + lo;
+            const int64_t stride = static_cast<int64_t>(channels) * bps;
+            for (int64_t i = lo; i < hi; ++i) {
+                *dst++ = static_cast<float>(load_pcm(src, bps, be)) * scale;
+                src += stride;
+            }
+        }
+    });
+}
+
+// Planar float32 [channels][frames] -> interleaved PCM bytes:
+//   pcm = clip(rint(x * 2^(bits-1)), -2^(bits-1), 2^(bits-1)-1)
+// (bit-identical to codec.py's NumPy fallback; any normalization gain is
+// applied upstream in float32 so native and fallback paths stay
+// byte-deterministic with each other).
+void encode_pcm_planar(const float* in, int64_t frames, int channels,
+                       int bits, int big_endian, int threads, uint8_t* out) {
+    const int bps = bits / 8;
+    const double full = bits == 16 ? 32768.0 : 8388608.0;
+    const double flo = -full, fhi = full - 1;
+    const double g = full;
+    const bool be = big_endian != 0;
+    parallel_frames(frames, threads, [=](int64_t lo, int64_t hi) {
+        for (int c = 0; c < channels; ++c) {
+            const float* src = in + c * frames + lo;
+            uint8_t* dst = out + (lo * channels + c) * bps;
+            const int64_t stride = static_cast<int64_t>(channels) * bps;
+            for (int64_t i = lo; i < hi; ++i) {
+                double v = std::nearbyint(static_cast<double>(*src++) * g);
+                if (v < flo) v = flo;
+                if (v > fhi) v = fhi;
+                store_pcm(dst, static_cast<int32_t>(v), bps, be);
+                dst += stride;
+            }
+        }
+    });
+}
+
+}  // extern "C"

@@ -24,7 +24,7 @@ def _build() -> str | None:
         return _SO
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
              "-o", _SO, _SRC],
             check=True, capture_output=True, timeout=120,
         )
@@ -43,6 +43,12 @@ class _NativeCodec:
             ("decode_pcm24", (u8p, ctypes.c_int64, ctypes.c_int, f32p)),
             ("encode_pcm16", (f32p, ctypes.c_int64, ctypes.c_int, u8p)),
             ("encode_pcm24", (f32p, ctypes.c_int64, ctypes.c_int, u8p)),
+            ("decode_pcm_planar",
+             (u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+              ctypes.c_int, f32p)),
+            ("encode_pcm_planar",
+             (f32p, ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+              ctypes.c_int, u8p)),
         ]:
             fn = getattr(lib, name)
             fn.argtypes = list(args)
@@ -72,6 +78,33 @@ class _NativeCodec:
         samples = np.ascontiguousarray(samples, dtype=np.float32)
         return float(self._lib.peak_abs_f32(
             samples.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), samples.size))
+
+    def decode_planar(self, raw: np.ndarray, channels: int, bits: int,
+                      big_endian: bool, threads: int = 0) -> np.ndarray:
+        """Interleaved PCM bytes -> planar float32 [channels, frames] in one
+        fused pass (codec + deinterleave), fanned across C++ threads.
+        threads <= 0 uses the reference's 0.7 x cores default."""
+        bps = bits // 8
+        frames = raw.size // (bps * channels)
+        out = np.empty((channels, frames), dtype=np.float32)
+        self._lib.decode_pcm_planar(
+            raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), frames,
+            channels, bits, int(big_endian), int(threads),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return out
+
+    def encode_planar(self, samples: np.ndarray, bits: int,
+                      big_endian: bool, threads: int = 0) -> bytes:
+        """Planar float32 [channels, frames] -> interleaved PCM bytes in one
+        fused pass (interleave + quantize)."""
+        samples = np.ascontiguousarray(samples, dtype=np.float32)
+        channels, frames = samples.shape
+        out = np.empty(frames * channels * (bits // 8), dtype=np.uint8)
+        self._lib.encode_pcm_planar(
+            samples.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), frames,
+            channels, bits, int(big_endian), int(threads),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return out.tobytes()
 
 
 def load() -> _NativeCodec | None:
