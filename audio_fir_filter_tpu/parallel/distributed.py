@@ -35,8 +35,14 @@ def initialize(coordinator_address: str | None = None,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        # Idempotence only: a repeated initialize is harmless, but any
+        # OTHER failure (bad coordinator, join timeout, ...) must surface —
+        # silently proceeding single-process would corrupt a multi-host
+        # batch's file sharding.
+        if "already initialized" in str(e).lower():
+            return
+        raise
 
 
 def process_info():

@@ -34,26 +34,42 @@ from ..ops import overlap_save as osv
 from .mesh import DATA_AXIS, TIME_AXIS
 
 
-def _halo_exchange(x_local: jax.Array, mo2: int, axis_name: str) -> jax.Array:
-    """[C, S] -> [C, S + 2*Mo2] with neighbor halos (zeros at mesh edges)."""
+def _halo_exchange(x_local: jax.Array, mo2: int, axis_name: str,
+                   edge_left: jax.Array | None = None,
+                   edge_right: jax.Array | None = None) -> jax.Array:
+    """[C, S] -> [C, S + 2*Mo2] with neighbor halos.
+
+    Mesh-edge shards receive ``edge_left`` / ``edge_right`` ([C, Mo2],
+    replicated) when given, else zeros — zeros reproduce the reference's
+    zero-padding at true signal edges (FilterCore.h:57-76); explicit edges
+    let a host segment loop chain segments exactly (pipeline streaming).
+    """
     n_shards = jax.lax.axis_size(axis_name)
     if n_shards == 1 or mo2 == 0:
-        pad = jnp.zeros((x_local.shape[0], mo2), x_local.dtype)
-        return jnp.concatenate([pad, x_local, pad], axis=1)
+        zero = jnp.zeros((x_local.shape[0], mo2), x_local.dtype)
+        left = zero if edge_left is None else edge_left
+        right = zero if edge_right is None else edge_right
+        return jnp.concatenate([left, x_local, right], axis=1)
     # Send my tail to my right neighbor => I receive my LEFT halo.
     right_perm = [(i, i + 1) for i in range(n_shards - 1)]
     left_halo = jax.lax.ppermute(x_local[:, -mo2:], axis_name, right_perm)
     # Send my head to my left neighbor => I receive my RIGHT halo.
     left_perm = [(i, i - 1) for i in range(1, n_shards)]
     right_halo = jax.lax.ppermute(x_local[:, :mo2], axis_name, left_perm)
+    idx = jax.lax.axis_index(axis_name)
+    if edge_left is not None:
+        left_halo = jnp.where(idx == 0, edge_left, left_halo)
+    if edge_right is not None:
+        right_halo = jnp.where(idx == n_shards - 1, edge_right, right_halo)
     return jnp.concatenate([left_halo, x_local, right_halo], axis=1)
 
 
-def _local_filter(x_local: jax.Array, H, plan_static: tuple) -> jax.Array:
+def _local_filter(x_local: jax.Array, H, plan_static: tuple,
+                  edge_left=None, edge_right=None) -> jax.Array:
     """Per-device body: halo exchange + overlap-save on the extended segment."""
     t = plan_static[0]
     mo2 = (t - 1) // 2
-    xe = _halo_exchange(x_local, mo2, TIME_AXIS)
+    xe = _halo_exchange(x_local, mo2, TIME_AXIS, edge_left, edge_right)
     y = osv._same_filter_impl(xe, plan_static, H)
     return y[:, mo2 : mo2 + x_local.shape[1]]
 
@@ -64,26 +80,42 @@ def _local_peak(y_local: jax.Array) -> jax.Array:
     return jax.lax.pmax(peak, DATA_AXIS)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 4))
-def _sharded_filter_jit(x, plan_static, H, normalize_flag, mesh):
+@functools.partial(jax.jit, static_argnums=(1, 4, 5, 6))
+def _sharded_filter_jit(x, plan_static, H, normalize_flag, mesh,
+                        with_edges=False, auto_scale=True,
+                        edge_left=None, edge_right=None):
     spec_x = P(DATA_AXIS, TIME_AXIS)
 
-    def body(x_local, H_local, norm_flag):
-        y = _local_filter(x_local, H_local, plan_static)
+    def body(x_local, H_local, norm_flag, *edges):
+        el, er = edges if with_edges else (None, None)
+        y = _local_filter(x_local, H_local, plan_static, el, er)
         peak = _local_peak(y)
+        if not auto_scale:
+            # Segment-streaming mode: the caller owns the one global
+            # scale decision (a per-segment scale would break the
+            # reference's single common factor, ProcessFile.cp:92-101).
+            return y, peak
         # Reference rule (ProcessFile.cp:98-101): scale iff clip or -n.
         do_scale = jnp.logical_or(peak > 1.0, norm_flag)
         safe_peak = jnp.where(peak > 0.0, peak, 1.0)
         scale = jnp.where(do_scale, 1.0 / safe_peak, 1.0).astype(jnp.float32)
         return y * scale, peak
 
+    # Edge halos are tiny ([C, Mo2]) and needed whole by the edge shards:
+    # replicate them (sharded only over channels on the data axis).
+    edge_spec = P(DATA_AXIS, None)
+    in_specs = (spec_x, P(), P()) + ((edge_spec, edge_spec) if with_edges
+                                     else ())
     fn = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(spec_x, P(), P()),
+        in_specs=in_specs,
         out_specs=(spec_x, P()),
     )
-    return fn(x, H, normalize_flag)
+    args = (x, H, normalize_flag)
+    if with_edges:
+        args += (edge_left, edge_right)
+    return fn(*args)
 
 
 def sharded_filter(
@@ -91,6 +123,9 @@ def sharded_filter(
     plan: osv.OverlapSavePlan,
     mesh: Mesh,
     normalize: bool = False,
+    edge_left=None,
+    edge_right=None,
+    auto_scale: bool = True,
 ):
     """Filter [C, N] float32 across the mesh; returns (y [C, N], peak scalar).
 
@@ -98,6 +133,11 @@ def sharded_filter(
     size; use :func:`pad_for_mesh` / slicing for arbitrary shapes (the CLI
     pipeline does). The peak returned is the pre-scale global maximum, for
     parity with the reference's maxMag (ProcessFile.cp:92-97).
+
+    ``edge_left`` / ``edge_right`` ([C, Mo2] float32) replace the zero
+    padding at the mesh edges — the segment-streaming analog of
+    :func:`..ops.overlap_save.extended_filter`'s halos. Leave None for true
+    signal edges (reference zero-pad semantics).
     """
     x = jnp.asarray(x, jnp.float32)
     if x.ndim != 2:
@@ -115,7 +155,16 @@ def sharded_filter(
             f"time shard length {n // t} is shorter than the half-kernel "
             f"Mo2={plan.mo2}; use fewer time shards for this signal")
     flag = jnp.asarray(normalize)
-    y, peak = _sharded_filter_jit(x, plan.static, plan.H, flag, mesh)
+    with_edges = edge_left is not None or edge_right is not None
+    if with_edges:
+        zero = jnp.zeros((c, plan.mo2), jnp.float32)
+        el = zero if edge_left is None else jnp.asarray(edge_left, jnp.float32)
+        er = zero if edge_right is None else jnp.asarray(edge_right, jnp.float32)
+        y, peak = _sharded_filter_jit(x, plan.static, plan.H, flag, mesh,
+                                      True, auto_scale, el, er)
+    else:
+        y, peak = _sharded_filter_jit(x, plan.static, plan.H, flag, mesh,
+                                      False, auto_scale)
     return y, peak
 
 

@@ -70,9 +70,12 @@ class BatchManifest:
 
 
 def options_fingerprint(opts) -> str:
-    """Stable fingerprint of the filter-relevant options: resuming with
-    different filter settings must not skip files."""
+    """Stable fingerprint of the output-relevant options: resuming with
+    different filter settings must not skip files. Includes ``engine``
+    because engines produce bit-different float32 roundings — a resume
+    that flips the engine must not mix outputs in one batch directory."""
     return json.dumps(
         [opts.filter_type, opts.freq, opts.freq_hi, opts.slope,
-         opts.normalize, opts.precision, opts.block_size]
+         opts.normalize, opts.precision, opts.block_size,
+         getattr(opts, "engine", "fourstep")]
     )

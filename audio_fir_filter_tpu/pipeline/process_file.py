@@ -70,21 +70,22 @@ def process_file(input_path, output_path, opts: FilterOptions,
     bar = ProgressBar(total, enabled=show_progress and sys.stdout.isatty())
     t0 = time.perf_counter()
     if opts.mesh_shape is not None:
-        # Multi-device path: time/channel-sharded convolution with fused
-        # pmax normalization (parallel/sharded_conv.py).
-        from ..parallel import make_mesh, sharded_filter_padded
+        # Multi-device path: time/channel-sharded segmented convolution
+        # (parallel/sharded_conv.py via pipeline/stream.py) — progress
+        # advances per segment like the reference bar (ProgressBar.h:34-47).
+        from ..parallel import make_mesh
+        from .stream import sharded_filter_streamed
 
         mesh = make_mesh(tuple(opts.mesh_shape))
-        y, peak = sharded_filter_padded(
-            data.samples, plan, mesh, normalize=opts.normalize)
-        filtered = np.asarray(y)
-        max_mag = float(peak)
-        bar.update(total)
+        filtered, max_mag = sharded_filter_streamed(
+            data.samples, plan, mesh, progress_cb=bar.update)
         t["filter"] = time.perf_counter() - t0
         bar.final()
+        # One global common scale, exactly ProcessFile.cp:92-101.
         t0 = time.perf_counter()
         if max_mag > 1.0 or opts.normalize:
-            show_status("Doing audio normalize.")  # already fused on device
+            show_status("Doing audio normalize.")
+            filtered = audio.normalize(filtered)
         t["normalize"] = time.perf_counter() - t0
     else:
         filtered = filter_array_streamed(data.samples, plan, progress_cb=bar.update)

@@ -88,3 +88,77 @@ def _drain(item, out, c, progress_cb):
     out[:, s:e] = np.asarray(yj)[:, : e - s]
     if progress_cb:
         progress_cb(c * (e - s))
+
+
+def sharded_filter_streamed(
+    x: np.ndarray,
+    plan: osv.OverlapSavePlan,
+    mesh,
+    segment_len: int = 0,
+    progress_cb=None,
+) -> tuple[np.ndarray, float]:
+    """Mesh-sharded analog of :func:`filter_array_streamed`.
+
+    Cuts [C, N] into fixed segments, filters each across the mesh
+    (ppermute halos between shards; host-fed edge halos chain the
+    segments), and reports progress per segment so the bar moves like the
+    reference's (ProgressBar.h:34-47) instead of jumping 0 -> 100%.
+
+    Returns (y [C, N] float32, global pre-scale peak). Normalization is the
+    CALLER's single common scale (ProcessFile.cp:92-101) — no per-segment
+    scaling ever happens (auto_scale=False on device).
+    """
+    from ..parallel.sharded_conv import sharded_filter
+
+    x = np.asarray(x, np.float32)
+    if x.ndim == 1:
+        y, peak = sharded_filter_streamed(x[None, :], plan, mesh,
+                                          segment_len, progress_cb)
+        return y[0], peak
+    c, n = x.shape
+    if n == 0:
+        return x, 0.0
+    d, t = mesh.devices.shape
+    # Channels pad once to the data axis; segments to a multiple of the
+    # time axis (and of the hop, for clean overlap-save blocking).
+    cp = -(-c // d) * d
+    seg = segment_len or default_segment_len(plan)
+    seg = max(1, -(-seg // (t * plan.hop))) * t * plan.hop
+    if t > 1 and seg // t < plan.mo2:
+        seg = -(-plan.mo2 * t // (t * plan.hop)) * t * plan.hop
+    mo2 = plan.mo2
+
+    num_segments = -(-n // seg)
+    xp = np.zeros((cp, mo2 + num_segments * seg + mo2), np.float32)
+    xp[:c, mo2 : mo2 + n] = x
+
+    out = np.empty((c, n), dtype=np.float32)
+    peak = 0.0
+    pending = []
+    for j in range(num_segments):
+        s = j * seg
+        e = min(n, s + seg)
+        body = xp[:, mo2 + s : mo2 + s + seg]
+        left = xp[:, s : s + mo2]
+        right = xp[:, mo2 + s + seg : mo2 + s + seg + mo2]
+        yj, _ = sharded_filter(body, plan, mesh, normalize=False,
+                               edge_left=left, edge_right=right,
+                               auto_scale=False)
+        pending.append((yj, s, e))
+        if len(pending) >= 2:
+            peak = max(peak, _drain_sharded(pending.pop(0), out, c,
+                                            progress_cb))
+    while pending:
+        peak = max(peak, _drain_sharded(pending.pop(0), out, c, progress_cb))
+    return out, peak
+
+
+def _drain_sharded(item, out, c, progress_cb):
+    yj, s, e = item
+    seg_y = np.asarray(yj)[:c, : e - s]
+    out[:, s:e] = seg_y
+    if progress_cb:
+        progress_cb(c * (e - s))
+    # Peak over the REAL region only (pad rows/samples excluded), matching
+    # the unsharded path's host-side max (ProcessFile.cp:92-97).
+    return float(np.max(np.abs(seg_y))) if seg_y.size else 0.0

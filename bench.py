@@ -64,10 +64,13 @@ def measure_chip_rate(freq: float, slope: float, fs: float, channels: int,
     # The dev tunnel moves incompressible data at ~1 MB/s (and stalls for
     # minutes under load); FFT timing is data-independent, so the segment
     # is generated ENTIRELY ON DEVICE — nothing crosses the tunnel but the
-    # 8-sample fences.
+    # 8-sample fences. Deterministic iota+sin instead of jax.random: the
+    # threefry kernel alone cost ~11 min of compile+run on this backend
+    # (BENCH_r01 "generate segment" line); sin(iota) is milliseconds.
     t0 = time.perf_counter()
-    xd = jax.jit(lambda k: 0.3 * jax.random.normal(
-        k, (channels, seg + plan.m), jnp.float32))(jax.random.key(0))
+    xd = jax.jit(lambda: 0.3 * jnp.sin(
+        0.37 * jnp.arange(channels * (seg + plan.m), dtype=jnp.float32)
+    ).reshape(channels, seg + plan.m))()
     np.asarray(xd[0, :8])  # fence
     log(f"generate segment on device: {time.perf_counter() - t0:.1f}s")
 

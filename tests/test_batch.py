@@ -134,3 +134,24 @@ def test_shared_plan_cache_across_batch(tmp_path):
     # First file pays the design; the rest hit the cache (>=10x cheaper or
     # sub-millisecond).
     assert designs[-2] < max(designs[-1] / 10, 1e-3)
+
+
+def test_manifest_engine_flip_not_skipped(tmp_path):
+    """Engines round float32 differently; a resume that flips --engine must
+    reprocess, not skip (manifest fingerprint includes engine)."""
+    from audio_fir_filter_tpu.pipeline.manifest import (
+        BatchManifest, options_fingerprint)
+
+    ins = [wav(tmp_path / "e0.wav", seed=3)]
+    dest = tmp_path / "out"
+    dest.mkdir()
+    o1 = opts(engine="fourstep")
+    man = BatchManifest(dest, options_fingerprint(o1))
+    run_batch(ins, dest, o1, manifest=man)
+    stamp = (dest / "e0.wav").stat().st_mtime_ns
+
+    o2 = opts(engine="pease", overwrite=True) if hasattr(o1, "overwrite") \
+        else opts(engine="pease")
+    assert options_fingerprint(o1) != options_fingerprint(o2)
+    man2 = BatchManifest(dest, options_fingerprint(o2))
+    assert not man2.is_done(str(ins[0]))  # fingerprint mismatch: fresh state

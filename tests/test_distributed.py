@@ -83,3 +83,24 @@ def test_two_process_batch(tmp_path):
     assert done == sorted(files)  # disjoint cover across real processes
     for f in files:
         assert (outdir / f.rsplit("/", 1)[-1]).exists()
+
+
+def test_initialize_only_swallows_already_initialized(monkeypatch):
+    """A genuinely failed multi-host join must abort, not silently proceed
+    single-process (VERDICT r1 weak #6)."""
+    import jax
+
+    from audio_fir_filter_tpu.parallel import distributed
+
+    def boom(**kw):
+        raise RuntimeError("Barrier timed out joining coordinator")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    with pytest.raises(RuntimeError, match="Barrier timed out"):
+        distributed.initialize("127.0.0.1:1", 2, 0)
+
+    def dup(**kw):
+        raise RuntimeError("Distributed system is already initialized")
+
+    monkeypatch.setattr(jax.distributed, "initialize", dup)
+    distributed.initialize()  # idempotent: swallowed

@@ -95,3 +95,50 @@ def test_sharded_indivisible_raises():
     mesh = make_mesh((1, 8))
     with pytest.raises(ValueError):
         sharded_filter(x, plan, mesh)
+
+
+def test_sharded_edge_halos_chain_segments():
+    """Edge halos replace zero padding: filtering a middle segment with its
+    true neighbor halos must equal the corresponding slice of the whole."""
+    x, ws, plan = make_case(n=6000, channels=2)
+    mesh = make_mesh((1, 8))
+    ref = np.asarray(osv.same_filter(x, plan))
+    s, seg = 2000, 2000
+    mo2 = plan.mo2
+    y_seg, _ = sharded_filter(
+        x[:, s : s + seg], plan, mesh,
+        edge_left=x[:, s - mo2 : s], edge_right=x[:, s + seg : s + seg + mo2])
+    assert oracle.max_lsb_error(np.asarray(y_seg), ref[:, s : s + seg],
+                                bits=24) <= 2 * high_tol_lsb24()
+
+
+def test_sharded_streamed_matches_unsharded_and_reports_progress():
+    from audio_fir_filter_tpu.pipeline.stream import sharded_filter_streamed
+
+    x, ws, plan = make_case(n=9000, channels=3, seed=11)
+    mesh = make_mesh((2, 4))
+    ticks = []
+    y, peak = sharded_filter_streamed(x, plan, mesh, segment_len=2048,
+                                      progress_cb=ticks.append)
+    ref = np.asarray(osv.same_filter(x, plan))
+    assert y.shape == ref.shape
+    assert oracle.max_lsb_error(y, ref, bits=24) <= 2 * high_tol_lsb24()
+    assert np.isclose(peak, np.max(np.abs(ref)), rtol=1e-5)
+    # The bar must actually move: several segment-sized increments summing
+    # to the total (reference redraws continuously, ProgressBar.h:34-47).
+    assert len(ticks) >= 3
+    assert sum(ticks) == x.size
+
+
+def test_sharded_streamed_no_per_segment_scaling():
+    """A clipping segment must NOT be scaled alone: one global factor only
+    (ProcessFile.cp:92-101)."""
+    from audio_fir_filter_tpu.pipeline.stream import sharded_filter_streamed
+
+    x, ws, plan = make_case(n=6000, channels=1, seed=2)
+    x = (x * 4.0).astype(np.float32)  # drive the filtered peak over 1.0
+    mesh = make_mesh((1, 8))
+    y, peak = sharded_filter_streamed(x, plan, mesh, segment_len=1500)
+    ref = np.asarray(osv.same_filter(x, plan))
+    assert peak > 1.0  # the case is actually exercising the clip rule
+    assert oracle.max_lsb_error(y, ref, bits=24) <= 4 * high_tol_lsb24()
