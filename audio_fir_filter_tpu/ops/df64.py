@@ -188,3 +188,48 @@ def cneg_im(x: CDF64) -> CDF64:
 
 def cmul_pow2(x: CDF64, c: float) -> CDF64:
     return CDF64(mul_pow2(x.re, c), mul_pow2(x.im, c))
+
+
+# --------------------------------------------------- relaxed (unnormalized)
+#
+# The FFT engine needs ~27 good bits end to end (1 LSB @ 24-bit output,
+# BASELINE.md), while strict double-float carries ~49. The relaxed ops skip
+# the final quick_two_sum renormalization: results are unevaluated sums
+# (hi, lo) with |lo| growing to ~k*ulp(hi) after k chained ops instead of
+# ulp(hi)/2. Error analysis: two_sum/two_prod stay error-free on the hi
+# parts; the only dropped term is lo*lo (~beta^2 * 2^-48 relative, beta ~
+# stage count ~20), and lo-channel rounding is ~beta * 2^-48 per op — both
+# orders of magnitude below the 2^-26 requirement. Measured on v5e: the
+# production engine's output is bit-identical at the final float32 rounding
+# on the fidelity gate (bench.py --fidelity), at ~25% fewer VPU flops
+# (add 11 -> 8, mul 20 -> 17 f32 ops).
+
+def add_relaxed(x: DF64, y: DF64) -> DF64:
+    s, e = _two_sum(x.hi, y.hi)
+    return DF64(s, e + (x.lo + y.lo))
+
+
+def mul_relaxed(x: DF64, y: DF64) -> DF64:
+    p, e = _two_prod(x.hi, y.hi)
+    return DF64(p, e + (x.hi * y.lo + x.lo * y.hi))
+
+
+def mul_dconst_relaxed(x: DF64, c_hi: float, c_lo: float) -> DF64:
+    c_hi = jnp.float32(c_hi)
+    p, e = _two_prod(x.hi, c_hi)
+    return DF64(p, e + (x.hi * jnp.float32(c_lo) + x.lo * c_hi))
+
+
+def cadd_relaxed(x: CDF64, y: CDF64) -> CDF64:
+    return CDF64(add_relaxed(x.re, y.re), add_relaxed(x.im, y.im))
+
+
+def csub_relaxed(x: CDF64, y: CDF64) -> CDF64:
+    return CDF64(add_relaxed(x.re, neg(y.re)), add_relaxed(x.im, neg(y.im)))
+
+
+def cmul_relaxed(x: CDF64, y: CDF64) -> CDF64:
+    return CDF64(
+        add_relaxed(mul_relaxed(x.re, y.re), neg(mul_relaxed(x.im, y.im))),
+        add_relaxed(mul_relaxed(x.re, y.im), mul_relaxed(x.im, y.re)),
+    )
