@@ -652,69 +652,121 @@ def dif_sigma(n: int, plan=None) -> np.ndarray:
     return sig
 
 
+def dif_stage(z, kind: str, d: int, ws, arith):
+    """ONE in-place DIF stage along axis -2 of [..., n, V] (strided
+    contiguous-block formulation). ``ws`` is the stage's twiddle tuple from
+    :func:`dif_tables`. A d == 1 stage's twiddles are exactly 1, so its
+    multiplies are skipped (XLA does not fold a mul by a materialized
+    all-ones array)."""
+    shp = jax.tree.leaves(z)[0].shape
+
+    def back(*parts):
+        return _tmap(
+            lambda *ps: jnp.stack(ps, axis=-3).reshape(shp), *parts)
+
+    def tw(y, r):
+        return y if d == 1 else arith.mul(y, ws[r - 1])
+
+    radix = {"r2": 2, "r4": 4, "r8": 8}[kind]
+    v = _tmap(lambda t: t.reshape(
+        t.shape[:-2] + (-1, radix, d, t.shape[-1])), z)
+    part = [_tmap(lambda t, q=q: t[..., q, :, :], v)
+            for q in range(radix)]
+
+    if kind == "r2":
+        a, b = part
+        return back(arith.add(a, b), tw(arith.sub(a, b), 1))
+    if kind == "r4":
+        a, b, c, e = part
+        t0, t1 = arith.add(a, c), arith.sub(a, c)
+        t2 = arith.add(b, e)
+        t3 = arith.mul_neg_i(arith.sub(b, e))
+        return back(
+            arith.add(t0, t2),
+            tw(arith.add(t1, t3), 1),
+            tw(arith.sub(t0, t2), 2),
+            tw(arith.sub(t1, t3), 3),
+        )
+    # Radix-8 DIF butterfly: y_r = DFT_8(a)[r], then *w_r.
+    b0 = [arith.add(part[q], part[q + 4]) for q in range(4)]
+    b1 = [arith.sub(part[q], part[q + 4]) for q in range(4)]
+    # even outputs: DFT_4 of b0
+    c0, c1 = arith.add(b0[0], b0[2]), arith.sub(b0[0], b0[2])
+    c2 = arith.add(b0[1], b0[3])
+    c3 = arith.mul_neg_i(arith.sub(b0[1], b0[3]))
+    y0, y2 = arith.add(c0, c2), arith.add(c1, c3)
+    y4, y6 = arith.sub(c0, c2), arith.sub(c1, c3)
+    # odd outputs: DFT_4 of (omega_8^q * b1[q])
+    d0 = b1[0]
+    d1 = _w8_1(b1[1], arith)
+    d2 = arith.mul_neg_i(b1[2])
+    d3 = _w8_3(b1[3], arith)
+    e0, e1 = arith.add(d0, d2), arith.sub(d0, d2)
+    e2 = arith.add(d1, d3)
+    e3 = arith.mul_neg_i(arith.sub(d1, d3))
+    y1, y3 = arith.add(e0, e2), arith.add(e1, e3)
+    y5, y7 = arith.sub(e0, e2), arith.sub(e1, e3)
+    return back(y0, tw(y1, 1), tw(y2, 2), tw(y3, 3),
+                tw(y4, 4), tw(y5, 5), tw(y6, 6), tw(y7, 7))
+
+
+def dit_stage(y, kind: str, d: int, ws, arith):
+    """ONE in-place DIT (inverse) stage along axis -2 — the inverse of
+    :func:`dif_stage` WITHOUT the final 1/n scaling (callers apply it once
+    per transform)."""
+    shp = jax.tree.leaves(y)[0].shape
+
+    def back(*parts):
+        return _tmap(
+            lambda *ps: jnp.stack(ps, axis=-3).reshape(shp), *parts)
+
+    radix = {"r2": 2, "r4": 4, "r8": 8}[kind]
+    v = _tmap(lambda t: t.reshape(
+        t.shape[:-2] + (-1, radix, d, t.shape[-1])), y)
+    # u_r = in_r * conj(w_r); a d == 1 stage's twiddles are exactly 1.
+    u = [_tmap(lambda t, r=r: t[..., r, :, :], v) for r in range(radix)]
+    if d > 1:
+        u = [u[0]] + [arith.mul(u[r], arith.conj(ws[r - 1]))
+                      for r in range(1, radix)]
+
+    if kind == "r2":
+        return back(arith.add(u[0], u[1]), arith.sub(u[0], u[1]))
+    if kind == "r4":
+        s0, d0 = arith.add(u[0], u[2]), arith.sub(u[0], u[2])
+        s1, d1 = arith.add(u[1], u[3]), arith.sub(u[1], u[3])
+        id1 = _mul_pos_i(d1, arith)
+        return back(
+            arith.add(s0, s1), arith.add(d0, id1),
+            arith.sub(s0, s1), arith.sub(d0, id1),
+        )
+    # Radix-8 DIT: a_m = IDFT_4(even u)[m] + omega_8^{+m} IDFT_4(odd
+    # u)[m] (and - for m+4).
+    def idft4(v0, v1, v2, v3):
+        s0, d0 = arith.add(v0, v2), arith.sub(v0, v2)
+        s1 = arith.add(v1, v3)
+        id1 = _mul_pos_i(arith.sub(v1, v3), arith)
+        return (arith.add(s0, s1), arith.add(d0, id1),
+                arith.sub(s0, s1), arith.sub(d0, id1))
+
+    p = idft4(u[0], u[2], u[4], u[6])
+    q = idft4(u[1], u[3], u[5], u[7])
+    t = (q[0], _w8_1c(q[1], arith), _mul_pos_i(q[2], arith),
+         _w8_3c(q[3], arith))
+    return back(*[arith.add(p[m], t[m]) for m in range(4)],
+                *[arith.sub(p[m], t[m]) for m in range(4)])
+
+
 def fft_dif_rows(z, n: int, arith=ARITH_DF64, tabs=None, plan=None):
     """In-place DIF along axis -2 of [..., n, V]; digit-reversed rows out.
 
     ``tabs`` defaults to embedded host constants; Pallas callers pass the
-    loaded table values instead. A d == 1 stage's twiddles are exactly 1,
-    so its multiplies are skipped (XLA does not fold a mul by a
-    materialized all-ones array)."""
+    loaded table values instead."""
     if plan is None:
         plan = dif_plan(n)
     if tabs is None:
         tabs = dif_tables(n, arith.name, plan)
     for (kind, d), ws in zip(plan, tabs):
-        shp = jax.tree.leaves(z)[0].shape
-
-        def back(*parts):
-            return _tmap(
-                lambda *ps: jnp.stack(ps, axis=-3).reshape(shp), *parts)
-
-        def tw(y, r):
-            return y if d == 1 else arith.mul(y, ws[r - 1])
-
-        radix = {"r2": 2, "r4": 4, "r8": 8}[kind]
-        v = _tmap(lambda t: t.reshape(
-            t.shape[:-2] + (-1, radix, d, t.shape[-1])), z)
-        part = [_tmap(lambda t, q=q: t[..., q, :, :], v)
-                for q in range(radix)]
-
-        if kind == "r2":
-            a, b = part
-            z = back(arith.add(a, b), tw(arith.sub(a, b), 1))
-        elif kind == "r4":
-            a, b, c, e = part
-            t0, t1 = arith.add(a, c), arith.sub(a, c)
-            t2 = arith.add(b, e)
-            t3 = arith.mul_neg_i(arith.sub(b, e))
-            z = back(
-                arith.add(t0, t2),
-                tw(arith.add(t1, t3), 1),
-                tw(arith.sub(t0, t2), 2),
-                tw(arith.sub(t1, t3), 3),
-            )
-        else:
-            # Radix-8 DIF butterfly: y_r = DFT_8(a)[r], then *w_r.
-            b0 = [arith.add(part[q], part[q + 4]) for q in range(4)]
-            b1 = [arith.sub(part[q], part[q + 4]) for q in range(4)]
-            # even outputs: DFT_4 of b0
-            c0, c1 = arith.add(b0[0], b0[2]), arith.sub(b0[0], b0[2])
-            c2 = arith.add(b0[1], b0[3])
-            c3 = arith.mul_neg_i(arith.sub(b0[1], b0[3]))
-            y0, y2 = arith.add(c0, c2), arith.add(c1, c3)
-            y4, y6 = arith.sub(c0, c2), arith.sub(c1, c3)
-            # odd outputs: DFT_4 of (omega_8^q * b1[q])
-            d0 = b1[0]
-            d1 = _w8_1(b1[1], arith)
-            d2 = arith.mul_neg_i(b1[2])
-            d3 = _w8_3(b1[3], arith)
-            e0, e1 = arith.add(d0, d2), arith.sub(d0, d2)
-            e2 = arith.add(d1, d3)
-            e3 = arith.mul_neg_i(arith.sub(d1, d3))
-            y1, y3 = arith.add(e0, e2), arith.add(e1, e3)
-            y5, y7 = arith.sub(e0, e2), arith.sub(e1, e3)
-            z = back(y0, tw(y1, 1), tw(y2, 2), tw(y3, 3),
-                     tw(y4, 4), tw(y5, 5), tw(y6, 6), tw(y7, 7))
+        z = dif_stage(z, kind, d, ws, arith)
     return z
 
 
@@ -726,47 +778,7 @@ def ifft_dit_rows(y, n: int, arith=ARITH_DF64, tabs=None, plan=None):
     if tabs is None:
         tabs = dif_tables(n, arith.name, plan)
     for (kind, d), ws in zip(reversed(plan), reversed(tabs)):
-        shp = jax.tree.leaves(y)[0].shape
-
-        def back(*parts):
-            return _tmap(
-                lambda *ps: jnp.stack(ps, axis=-3).reshape(shp), *parts)
-
-        radix = {"r2": 2, "r4": 4, "r8": 8}[kind]
-        v = _tmap(lambda t: t.reshape(
-            t.shape[:-2] + (-1, radix, d, t.shape[-1])), y)
-        # u_r = in_r * conj(w_r); a d == 1 stage's twiddles are exactly 1.
-        u = [_tmap(lambda t, r=r: t[..., r, :, :], v) for r in range(radix)]
-        if d > 1:
-            u = [u[0]] + [arith.mul(u[r], arith.conj(ws[r - 1]))
-                          for r in range(1, radix)]
-
-        if kind == "r2":
-            y = back(arith.add(u[0], u[1]), arith.sub(u[0], u[1]))
-        elif kind == "r4":
-            s0, d0 = arith.add(u[0], u[2]), arith.sub(u[0], u[2])
-            s1, d1 = arith.add(u[1], u[3]), arith.sub(u[1], u[3])
-            id1 = _mul_pos_i(d1, arith)
-            y = back(
-                arith.add(s0, s1), arith.add(d0, id1),
-                arith.sub(s0, s1), arith.sub(d0, id1),
-            )
-        else:
-            # Radix-8 DIT: a_m = IDFT_4(even u)[m] + omega_8^{+m} IDFT_4(odd
-            # u)[m] (and - for m+4).
-            def idft4(v0, v1, v2, v3):
-                s0, d0 = arith.add(v0, v2), arith.sub(v0, v2)
-                s1 = arith.add(v1, v3)
-                id1 = _mul_pos_i(arith.sub(v1, v3), arith)
-                return (arith.add(s0, s1), arith.add(d0, id1),
-                        arith.sub(s0, s1), arith.sub(d0, id1))
-
-            p = idft4(u[0], u[2], u[4], u[6])
-            q = idft4(u[1], u[3], u[5], u[7])
-            t = (q[0], _w8_1c(q[1], arith), _mul_pos_i(q[2], arith),
-                 _w8_3c(q[3], arith))
-            y = back(*[arith.add(p[m], t[m]) for m in range(4)],
-                     *[arith.sub(p[m], t[m]) for m in range(4)])
+        y = dit_stage(y, kind, d, ws, arith)
     return arith.mul_pow2(y, 1.0 / n)
 
 

@@ -140,9 +140,12 @@ def make_plan(taps: np.ndarray, precision: str = HIGH, block_size: int = 0,
         raise ValueError(f"unknown precision {precision!r} (use 'fast' or 'high')")
     hr = np.zeros(b, dtype=np.float64)
     hr[:t] = taps[::-1]
-    if engine in ("fourstep", "pallas"):
-        # Both consume the DIF four-step spectrum layout.
+    if engine == "fourstep":
         H64 = fft_core.fourstep_dif_fft_np(hr, *fft_core.fourstep_split(b))
+    elif engine == "pallas":
+        # The fused kernel's roll-plan four-step layout.
+        from . import pallas_fft
+        H64 = pallas_fft.kernel_spectrum_np(hr, b)
     elif engine == "pease":
         H64 = fft_core.pease_fft_np(hr)       # permuted-order spectrum
     elif engine == "stockham":

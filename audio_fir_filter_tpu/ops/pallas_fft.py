@@ -1,41 +1,58 @@
-"""Pallas TPU kernels for the four-step overlap-save convolution.
+"""Fully-fused Pallas TPU kernel for the four-step overlap-save convolution.
 
-The XLA ``fourstep`` engine (ops/fft_core.py) materializes every FFT stage
-to HBM: ~22 full read+write passes per convolved block. These kernels keep
-an entire *phase* of the four-step factorization resident in VMEM, cutting
-HBM traffic to ~10 passes and running the stage pipeline back-to-back on
-the VPU:
+The XLA ``fourstep`` engine (ops/fft_core.py) is HBM-bound: its fused
+schedule still makes ~44 full HBM passes per convolved block chunk
+(experiments/where_time.py, roofline.log — ~78% of v5e HBM bandwidth on
+each pass). This kernel performs the ENTIRE convolution of a complex
+block — pack, forward 2-D FFT, spectral multiply, inverse 2-D FFT,
+unpack — in ONE ``pallas_call`` with the block resident in VMEM: HBM
+traffic drops to a single float32 read + write of the data (plus
+constant tables fetched once), leaving the VPU butterfly arithmetic as
+the only remaining cost.
 
-  K1  phase-1 forward: all radix stages of the length-R transform over a
-      [R, CT] column tile + the four-step twiddle — one HBM read+write.
-  K2  fused spectral core: length-C forward stages, multiply by the
-      kernel's spectrum H, and the length-C inverse stages — three logical
-      passes in one kernel, one HBM read+write.
-  K3  phase-1 inverse: conjugate four-step twiddle + length-R inverse.
+Stage formulation (measured on v5e, experiments/mosaic_stages*.py):
 
-Between kernels the [R, C] <-> [C, R] transposes run as plain XLA ops.
+- Mosaic lowers the in-place strided DIF/DIT stages well at coarse block
+  length (d >= 16) but degrades badly below it (d=1 strided costs ~80x a
+  sublane-roll stage), and the DIT inverse chain was ~2x the forward.
+- Sublane ROLL radix-2 butterflies are nearly free (~8 us/stage over 8
+  resident [512, 512] CDF64 blocks): partner rows come from
+  ``pltpu.roll`` along the sublane axis, the top/bottom halves of each
+  butterfly group are combined with one select, and the stage twiddle is
+  one full-height [n, 1] column multiply (1 in top rows).
+- In-kernel [n, n] transposes and elementwise complex multiplies are
+  ~at the copy floor.
 
-The in-kernel transforms are in-place DIF (forward) / DIT (inverse)
-radix-4 stages (fft_core.fft_dif_rows / ifft_dit_rows): every stage
-reads and writes contiguous row blocks. This matters specifically under
-Mosaic — the constant-geometry inverse's strided deinterleave reads
-lowered ~7x slower than its forward on v5e (experiments/pallas_micro.py).
-Spectra therefore live in the DIF digit-reversed layout
-(fft_core.fourstep_dif_fft_np), never materialized in natural order.
+So every stage here is a roll butterfly: the phase plan is
+``fft_core.dif_plan_roll(n, n)`` — all radix-2, block lengths n/2 .. 1.
+The digit-reversed row order this produces is never materialized: the
+kernel's spectrum layout (:func:`kernel_spectrum_np`) and the four-step
+twiddle are generated on host by the plan-aware mirrors
+(fft_core.fourstep_dif_fft_np / _fourstep_dif_twiddle_np).
 
-All complex values are explicit (re, im) plane pytrees in the engine's
-arithmetic (C32 or CDF64 — df64 ops are plain jnp ops and run inside
-Pallas unchanged, ops/df64.py).
+Rolls are mathematically the SAME radix-2 stages as the strided
+formulation (fft_core.dif_stage), so the host float64 mirror
+``fft_core.dif_fft_np(x, plan)`` validates them directly.
 
-STATUS (measured, not the default): at production size (B=2^18 df64,
-chunk 16) this path runs 4.5x SLOWER than the XLA ``fourstep`` engine on
-v5e (experiments/engine_compare.py: 283 vs 1260 Ms/s raw; fourstep's
-sum-of-parts is ~5.4x its fused time, experiments/where_time.py — XLA
-already fuses the stage chain so aggressively that the HBM-pass savings
-this kernel buys back are smaller than Mosaic's lowering overhead on the
-stage bodies). Kept as a selectable engine (``--engine pallas``) and as
-the scaffold for future Mosaic work; ``fourstep`` is the production
-default.
+Precision: for the "high" path the in-kernel arithmetic is the RELAXED
+double-float variant (fft_core.ARITH_DF64_RELAXED — unnormalized
+intermediates, ~25% fewer VPU flops; error analysis at
+df64.add_relaxed). The kernel is VPU-bound, so unlike the XLA engine the
+flop cut is expected to pay here. Same oracle gates as every engine.
+
+STATUS (measured on v5e at B=2^18, chunk 16; experiments/fused_ab.py):
+f32: 1.397 ms = 3.00 Gs/s raw — 1.8x the XLA fourstep engine (2.512 ms).
+df64: 3.945 ms = 1.06 Gs/s — VPU-bound on double-float butterfly flops
+(~3.2 Tflop/s sustained, at the VPU roofline for the current per-point
+flop count), 0.68x the HBM-bound XLA engine. Cross-engine max|diff| vs
+fourstep: 0.25 LSB@24 (df64). The df64 flop-count reductions (presplit
+twiddle tables, shared Dekker splits, mixed strided/roll plan) are the
+active optimization path.
+
+Shapes: Mosaic needs lane dim >= 128 and sublane dim >= 8 to tile well;
+below that (tiny test blocks on a real TPU) the same math runs as a
+plain XLA mirror (:func:`_conv_xla_mirror`) with identical tables and
+layout, so outputs stay engine-consistent at any block size.
 
 Reference parity: this is the TPU-native replacement for the reference's
 direct-convolution hot loop /root/reference/FilterCore.h:64-69.
@@ -52,14 +69,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import fft_core as fc
-from .fft_core import ARITH_DF64, ARITH_F32
-
-TILE_LANES = 128
+from .fft_core import ARITH_DF64, ARITH_DF64_RELAXED, ARITH_F32
 
 # The Mosaic default scoped-VMEM cap (16 MiB) is below v5e's physical VMEM;
-# the unrolled in-kernel stage pipeline needs headroom for its butterfly
-# temporaries (measured ~24 MiB at [1024, 128] df64 tiles).
-_VMEM_LIMIT = 96 * 1024 * 1024
+# the fused stage pipeline needs headroom for its butterfly temporaries.
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def _tmap(f, *trees):
@@ -70,136 +84,288 @@ def _arith(name: str):
     return ARITH_F32 if name == "f32" else ARITH_DF64
 
 
-# ------------------------------------------------------------ table pytrees
+def phase_plan(n: int):
+    """The kernel's stage plan for a length-n row transform: all radix-2
+    (every stage lowers as a sublane roll)."""
+    return fc.dif_plan_roll(n, n)
+
+
+def kernel_spectrum_np(h_padded: np.ndarray, b: int) -> np.ndarray:
+    """Host float64 spectrum of the (reversed, zero-padded) kernel in THIS
+    engine's four-step layout: [C, R], roll plans on both phases."""
+    r, c = fc.fourstep_split(b)
+    return fc.fourstep_dif_fft_np(h_padded, r, c,
+                                  plan_r=phase_plan(r), plan_c=phase_plan(c))
+
+
+# ------------------------------------------------------------ host tables
+
+def _roll_twiddle_np(n: int, d: int) -> np.ndarray:
+    """Full-height stage twiddle for a roll radix-2 DIF stage at block
+    length d: W[i] = 1 on top rows ((i & d) == 0), else
+    exp(-2j*pi*(i & (d-1)) / (2d)) — the dif_tables_np twiddle of the
+    row's in-group position. Shape [n, 1]."""
+    i = np.arange(n)
+    w = np.exp(-2j * np.pi * (i & (d - 1)) / (2 * d))
+    return np.where((i & d) == 0, 1.0 + 0j, w)[:, None]
+
 
 @functools.lru_cache(maxsize=16)
-def _tables_np(b: int, arith_name: str):
-    """Host tables for block size b: per-phase DIF stage twiddles and the
-    DIF-ordered four-step twiddle T [R, C], in the arith's representation."""
+def _phase_tables_np(n: int, arith_name: str):
+    """Per-stage roll twiddles for phase_plan(n); None for d == 1 (all
+    twiddles exactly 1 — the stage skips its multiply)."""
+    arith = _arith(arith_name)
+    out = []
+    for kind, d in phase_plan(n):
+        assert kind == "r2"
+        out.append(None if d == 1 else arith.wrap_np(_roll_twiddle_np(n, d)))
+    return tuple(out)
+
+
+@functools.lru_cache(maxsize=16)
+def _conv_tables_np(b: int, arith_name: str):
+    """All constant inputs of the fused kernel for block size b. The
+    conjugate four-step twiddle is NOT tabulated — the kernel conjugates
+    T tile-by-tile (a [r, LT] negation is cheaper than 4 MiB more VMEM)."""
     arith = _arith(arith_name)
     r, c = fc.fourstep_split(b)
+    T = fc._fourstep_dif_twiddle_np(r, c, plan_r=phase_plan(r))
     return {
-        "tw_r": fc.dif_tables(r, arith_name),
-        "tw_c": fc.dif_tables(c, arith_name),
-        "T": arith.wrap_np(fc._fourstep_dif_twiddle_np(r, c)),
+        "tw_r": _phase_tables_np(r, arith_name),
+        "tw_c": _phase_tables_np(c, arith_name),
+        "T": arith.wrap_np(T),
     }
 
 
 def conv_tables(b: int, arith_name: str):
-    """Device-ready pytree of the Pallas conv's constant inputs."""
-    return jax.tree.map(jnp.asarray, _tables_np(b, arith_name))
+    """Device-ready pytree of the fused kernel's constant inputs."""
+    return jax.tree.map(jnp.asarray, _conv_tables_np(b, arith_name))
 
 
-# ----------------------------------------------------------- kernel plumbing
+# ------------------------------------------------------------ stage bodies
+
+def _mask(n: int, d: int):
+    """[n, 1] bool: True on the top half of each 2d-row butterfly group."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    return (rows & d) == 0
+
+
+def _roll(z, shift: int, n: int):
+    """np.roll(plane, shift, axis=-2). Planes inside the Mosaic kernel are
+    2-D [n, V] and use pltpu.roll (non-negative shift); the XLA mirror's
+    are batched 3-D and use jnp.roll."""
+    def one(t):
+        if t.ndim == 2:
+            return pltpu.roll(t, shift % n, 0)
+        return jnp.roll(t, shift, axis=-2)
+
+    return _tmap(one, z)
+
+
+def _roll_stage_fwd(z, d: int, w, n: int, arith):
+    """One radix-2 DIF stage at block length d via sublane rolls: the
+    same math as fft_core.dif_stage('r2', d) — top rows a+b, bottom rows
+    (a-b)*w — with partners fetched by roll instead of strided slices."""
+    m = _mask(n, d)
+    u = _roll(z, -d, n)                      # z[i+d] (top rows' partner)
+    v = _roll(z, d, n)                       # z[i-d] (bottom rows' partner)
+    merged = _tmap(lambda a, b_: jnp.where(m, a, b_),
+                   arith.add(z, u), arith.sub(v, z))
+    return merged if w is None else arith.mul(merged, w)
+
+
+def _roll_stage_inv(z, d: int, w, n: int, arith):
+    """Inverse (DIT) of :func:`_roll_stage_fwd`: conj twiddle applied on
+    input, then top rows t[i] + t[i+d], bottom rows t[i-d] - t[i]."""
+    t = z if w is None else arith.mul(z, arith.conj(w))
+    m = _mask(n, d)
+    u = _roll(t, -d, n)
+    v = _roll(t, d, n)
+    return _tmap(lambda a, b_: jnp.where(m, a, b_),
+                 arith.add(t, u), arith.sub(v, t))
+
+
+def _run_fwd(z, n: int, tabs, arith):
+    for (kind, d), w in zip(phase_plan(n), tabs):
+        z = _roll_stage_fwd(z, d, w, n, arith)
+    return z
+
+
+def _run_inv(z, n: int, tabs, arith):
+    """Inverse stages (reversed plan), WITHOUT the 1/n scaling — the conv
+    applies one combined 1/B at the end."""
+    for (kind, d), w in zip(reversed(phase_plan(n)), reversed(tabs)):
+        z = _roll_stage_inv(z, d, w, n, arith)
+    return z
+
+
+def _conv_body(x0, x1, cc, r: int, c: int, arith):
+    """The whole circular convolution of one complex block, [r, c] planes
+    resident (monolithic form — the XLA mirror; the Mosaic kernel runs the
+    lane-tiled equivalent below)."""
+    b = r * c
+    z = arith.from_f32(x0, x1)
+    z = _run_fwd(z, r, cc["tw_r"], arith)            # phase-1 fwd (rows=R)
+    z = arith.mul(z, cc["T"])
+    z = _tmap(lambda t: jnp.swapaxes(t, -1, -2), z)  # [c, r]
+    z = _run_fwd(z, c, cc["tw_c"], arith)            # phase-2 fwd
+    z = arith.mul(z, cc["H"])                        # spectral multiply
+    z = _run_inv(z, c, cc["tw_c"], arith)            # phase-2 inv
+    z = _tmap(lambda t: jnp.swapaxes(t, -1, -2), z)  # [r, c]
+    z = arith.mul(z, arith.conj(cc["T"]))
+    z = _run_inv(z, r, cc["tw_r"], arith)            # phase-1 inv
+    z = arith.mul_pow2(z, 1.0 / b)
+    return arith.to_f32(z)
+
+
+# ------------------------------------------------------------- entry point
 
 def _use_interpret() -> bool:
     """Compiled Mosaic on real TPU; interpreter elsewhere (CPU tests)."""
     return jax.devices()[0].platform != "tpu"
 
 
-def _tiled_call(body, z, consts, tile: int, lanes_blocked: tuple,
-                interpret: bool):
-    """One pallas_call running ``body(z_tile, consts_tile) -> z_tile``.
+# Lane-tile width of the in-kernel phase loops. Each phase streams
+# [rows, LANE_TILE] column tiles between VMEM scratch and the VPU, so the
+# live SSA set is tile-sized: a monolithic [512, 512] body spills ~155 MiB
+# of VMEM (measured), the tiled one fits comfortably.
+LANE_TILE = 128
 
-    z: complex pytree, leaves [batch, n, V]. The kernel sees [1, n, tile]
-    blocks: the full transform axis resident in VMEM, grid over
-    (batch, V/tile). consts: pytree of constant inputs; leaves reached by
-    a top-level key in ``lanes_blocked`` are blocked [dim0, tile] along
-    lanes with the data, the rest load whole.
-    """
-    leaves, zdef = jax.tree.flatten(z)
-    citems = jax.tree_util.tree_flatten_with_path(consts)[0]
-    cdef = jax.tree.structure(consts)
-    cleaves = [cl for _, cl in citems]
-    batch, n, v = leaves[0].shape
-    tile = min(tile, v)
-    nz, ncst = len(leaves), len(cleaves)
-
-    def kernel(*refs):
-        zrefs, crefs = refs[:nz], refs[nz : nz + ncst]
-        orefs = refs[nz + ncst :]
-        zt = jax.tree.unflatten(zdef, [rf[0] for rf in zrefs])
-        cc = jax.tree.unflatten(cdef, [rf[...] for rf in crefs])
-        out = body(zt, cc)
-        for rf, leaf in zip(orefs, jax.tree.leaves(out)):
-            rf[0] = leaf
-
-    zspec = pl.BlockSpec((1, n, tile), lambda i, j: (i, 0, j),
-                         memory_space=pltpu.VMEM)
-    cspecs = []
-    for path, cl in citems:
-        name = path[0].key if hasattr(path[0], "key") else None
-        if name in lanes_blocked:
-            cspecs.append(pl.BlockSpec((cl.shape[0], tile),
-                                       lambda i, j: (0, j),
-                                       memory_space=pltpu.VMEM))
-        else:
-            cspecs.append(pl.BlockSpec(cl.shape,
-                                       lambda i, j, _nd=cl.ndim: (0,) * _nd,
-                                       memory_space=pltpu.VMEM))
-    out = pl.pallas_call(
-        kernel,
-        grid=(batch, max(1, v // tile)),
-        in_specs=[zspec] * nz + cspecs,
-        out_specs=[zspec] * nz,
-        out_shape=[jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves],
-        interpret=interpret,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
-    )(*leaves, *cleaves)
-    return jax.tree.unflatten(zdef, out)
-
-
-# ------------------------------------------------------------- the conv op
 
 def pallas_conv_real_blocks(blocks: jnp.ndarray, H2, arith=ARITH_DF64,
                             interpret: bool | None = None) -> jnp.ndarray:
-    """Circular convolution of real blocks with a real kernel — the Pallas
-    engine. Contract mirrors fft_core.fourstep_conv_real_blocks: blocks
-    [nb(even), B] float32 -> [nb, B] float32, two real blocks per complex
-    FFT. ``H2`` is the kernel's DIF four-step-layout spectrum [C, R]
-    (host: fft_core.fourstep_dif_fft_np) in the arith's representation.
+    """Circular convolution of real blocks with a real kernel — the fused
+    Pallas engine. Contract mirrors fft_core.fourstep_conv_real_blocks:
+    blocks [nb(even), B] float32 -> [nb, B] float32, two real blocks per
+    complex FFT. ``H2`` is the kernel's spectrum in THIS engine's layout
+    ([C, R], host: :func:`kernel_spectrum_np`) in the arith's
+    representation.
+
+    One pallas_call convolves everything: grid step = one complex block,
+    fully resident in VMEM scratch; HBM sees a single float32 read and
+    write of the data plus one fetch of the constant tables.
     """
     if interpret is None:
         interpret = _use_interpret()
     nb, b = blocks.shape
     r, c = fc.fourstep_split(b)
+    karith = ARITH_DF64_RELAXED if arith is ARITH_DF64 else arith
     tabs = conv_tables(b, arith.name)
+    cc = dict(tabs, H=H2)
 
-    z = arith.from_f32(blocks[0::2], blocks[1::2])        # [nb/2, B]
-    z = _tmap(lambda t: t.reshape(t.shape[:-1] + (r, c)), z)
+    if not interpret and (c < 128 or r < 8):
+        # Below Mosaic's efficient tile floor: identical math in XLA.
+        return _conv_xla_mirror(blocks, cc, r, c, karith)
 
-    # K1: phase-1 forward + four-step twiddle, [R, CT] tiles.
-    def k1(zt, cc):
-        y = fc.fft_dif_rows(zt, r, arith, tabs=cc["tw"])
-        return arith.mul(y, cc["T"])
+    x = blocks.reshape(nb // 2, 2, r, c)
+    cleaves, cdef = jax.tree.flatten(cc)
+    ncst = len(cleaves)
+    # Planes per complex value in this arith (df64: 4, f32: 2), and the
+    # plane order used to park pytrees in scratch.
+    zdef = jax.tree.structure(karith.from_f32(jnp.zeros(()), jnp.zeros(())))
+    nplanes = zdef.num_leaves
+    lt_c = min(LANE_TILE, c)
+    lt_r = min(LANE_TILE, r)
 
-    ct = min(TILE_LANES, c)
-    z = _tiled_call(k1, z, {"tw": tabs["tw_r"], "T": tabs["T"]},
-                    ct, ("T",), interpret)
+    def kernel(x_ref, *refs):
+        crefs = refs[:ncst]
+        o_ref, zA, zB = refs[ncst], refs[ncst + 1], refs[ncst + 2]
+        cc_r = jax.tree.unflatten(cdef, list(crefs))
+        tw_r = _tmap(lambda rf: rf[...], cc_r["tw_r"])
+        tw_c = _tmap(lambda rf: rf[...], cc_r["tw_c"])
 
-    z = _tmap(lambda t: jnp.swapaxes(t, -1, -2), z)        # [.., C, R]
+        def store(ref, sl, z):
+            for k, leaf in enumerate(jax.tree.leaves(z)):
+                ref[k, :, sl] = leaf
 
-    # K2: fused length-C forward x H x length-C inverse, [C, RT] tiles.
-    def k2(zt, cc):
-        y = fc.fft_dif_rows(zt, c, arith, tabs=cc["tw"])
-        y = arith.mul(y, cc["H"])
-        return fc.ifft_dit_rows(y, c, arith, tabs=cc["tw"])
+        def load(ref, sl):
+            return jax.tree.unflatten(
+                zdef, [ref[k, :, sl] for k in range(nplanes)])
 
-    rt = min(TILE_LANES, r)
-    z = _tiled_call(k2, z, {"tw": tabs["tw_c"], "H": H2},
-                    rt, ("H",), interpret)
+        # Tile loops are lax.fori_loop, NOT Python-unrolled: Mosaic gives
+        # each unrolled tile's SSA chain its own VMEM slots (measured
+        # 151 MiB > the 128 MiB chip), while a dynamic loop is compiled
+        # once and the live set is a single tile's chain.
 
-    z = _tmap(lambda t: jnp.swapaxes(t, -1, -2), z)        # [.., R, C]
+        # Phase A: pack + phase-1 forward + four-step twiddle, [r, lt_c]
+        # column tiles of the [r, c] block.
+        def phase_a(j, carry):
+            sl = pl.ds(j * lt_c, lt_c)
+            z = karith.from_f32(x_ref[0, 0, :, sl], x_ref[0, 1, :, sl])
+            z = _run_fwd(z, r, tw_r, karith)
+            z = karith.mul(z, _tmap(lambda rf: rf[:, sl], cc_r["T"]))
+            store(zA, sl, z)
+            return carry
 
-    # K3: conjugate four-step twiddle + phase-1 inverse.
-    def k3(zt, cc):
-        y = arith.mul(zt, arith.conj(cc["T"]))
-        return fc.ifft_dit_rows(y, r, arith, tabs=cc["tw"])
+        jax.lax.fori_loop(0, c // lt_c, phase_a, 0)
 
-    z = _tiled_call(k3, z, {"tw": tabs["tw_r"], "T": tabs["T"]},
-                    ct, ("T",), interpret)
+        # Transpose [r, c] -> [c, r], whole planes.
+        for k in range(nplanes):
+            zB[k] = jnp.swapaxes(zA[k], 0, 1)
 
-    z = _tmap(lambda t: t.reshape(t.shape[:-2] + (b,)), z)
-    re, im = arith.to_f32(z)
+        # Phase B: phase-2 forward, spectral multiply, phase-2 inverse on
+        # [c, lt_r] column tiles.
+        def phase_b(j, carry):
+            sl = pl.ds(j * lt_r, lt_r)
+            z = load(zB, sl)
+            z = _run_fwd(z, c, tw_c, karith)
+            z = karith.mul(z, _tmap(lambda rf: rf[:, sl], cc_r["H"]))
+            z = _run_inv(z, c, tw_c, karith)
+            store(zB, sl, z)
+            return carry
+
+        jax.lax.fori_loop(0, r // lt_r, phase_b, 0)
+
+        # Transpose back.
+        for k in range(nplanes):
+            zA[k] = jnp.swapaxes(zB[k], 0, 1)
+
+        # Phase C: conjugate twiddle + phase-1 inverse + 1/B + unpack.
+        def phase_c(j, carry):
+            sl = pl.ds(j * lt_c, lt_c)
+            z = load(zA, sl)
+            z = karith.mul(
+                z, karith.conj(_tmap(lambda rf: rf[:, sl], cc_r["T"])))
+            z = _run_inv(z, r, tw_r, karith)
+            z = karith.mul_pow2(z, 1.0 / b)
+            re, im = karith.to_f32(z)
+            o_ref[0, 0, :, sl] = re
+            o_ref[0, 1, :, sl] = im
+            return carry
+
+        jax.lax.fori_loop(0, c // lt_c, phase_c, 0)
+
+    xspec = pl.BlockSpec((1, 2, r, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    # Constant index maps: Pallas fetches each table once and keeps it
+    # resident in VMEM across grid steps.
+    cspecs = [pl.BlockSpec(cl.shape, lambda i, _nd=cl.ndim: (0,) * _nd,
+                           memory_space=pltpu.VMEM) for cl in cleaves]
+    y = pl.pallas_call(
+        kernel,
+        grid=(nb // 2,),
+        in_specs=[xspec] + cspecs,
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((nplanes, r, c), jnp.float32),
+            pltpu.VMEM((nplanes, c, r), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+    )(x, *cleaves)
+    return y.reshape(nb, b)
+
+
+def _conv_xla_mirror(blocks: jnp.ndarray, cc, r: int, c: int,
+                     arith) -> jnp.ndarray:
+    """The kernel's exact math as plain XLA ops (same tables, same
+    layout): fallback for sub-tile block sizes and a debugging mirror."""
+    nb, b = blocks.shape
+    re, im = _conv_body(
+        blocks[0::2].reshape(-1, r, c), blocks[1::2].reshape(-1, r, c),
+        cc, r, c, arith)
+    re = re.reshape(nb // 2, b)
+    im = im.reshape(nb // 2, b)
     return jnp.stack([re, im], axis=1).reshape(nb, b)

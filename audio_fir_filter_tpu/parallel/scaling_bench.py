@@ -1,0 +1,143 @@
+"""Scaling-efficiency harness for the time-sharded filter (BASELINE.md:
+>= 80% scaling efficiency at 2 hosts).
+
+Two halves:
+
+1. **Measured communication structure** (:func:`run_child`): the REAL
+   sharded program (`sharded_conv.sharded_filter` — shard_map, ppermute
+   halos, pmax reduction) timed at T = 1/2/4/8 time shards on a virtual
+   8-device CPU mesh, same workload split T ways. This cannot measure ICI
+   (one host, one memory system — ideal efficiency is flat 100% only if
+   the collectives and partitioning add no overhead), but it executes the
+   exact collective schedule a pod would run and catches structural
+   regressions (e.g. a halo exchange that serializes shards).
+
+2. **Analytic ICI/DCN model** (:func:`halo_cost_model`): per-segment halo
+   traffic is 2 neighbors x Mo2 samples x 4 B per shard boundary —
+   independent of segment length — while compute scales with the local
+   span. Efficiency = t_comp / (t_comp + t_comm) with zero overlap
+   assumed (worst case; in practice XLA overlaps ppermute with the FFT).
+   Link bandwidths are v5e-class public figures (How to Scale Your Model:
+   ~4.5e10 B/s/link one-way ICI, ~3.125e9 B/s/host DCN egress per 400
+   Gbps NIC / 16 hosts... we use 6.25e9 conservatively for a 50 GB/s
+   host NIC share).
+
+The child runs in a SUBPROCESS so the parent process (which may hold the
+real TPU backend) never re-initializes JAX on CPU.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+# Headline workload (BASELINE.md): 1 h 96 kHz stereo, default filter.
+FS = 96000.0
+FREQ, SLOPE = 15.0, 10.0
+# v5e-class single-chip rate measured by bench.py (used only to convert
+# the analytic model's per-sample compute cost into seconds).
+CHIP_RATE = 1.4e9
+ICI_BW = 4.5e10     # B/s per one-way neighbor link (v5e-class)
+DCN_BW = 6.25e9     # B/s per host boundary (conservative NIC share)
+
+
+def halo_cost_model(log, chip_rate: float = CHIP_RATE) -> list[dict]:
+    """Predict pod scaling of the halo-exchange design at the headline
+    workload for several shard counts and both link classes."""
+    from ..ops import kernel_design as kd
+
+    taps = kd.kernel_length(SLOPE / FS)
+    mo2 = (taps - 1) // 2
+    n = int(3600 * FS)          # 1 h of frames, per channel
+    halo_bytes = 2 * mo2 * 4.0  # both neighbors, float32
+    rows = []
+    log("analytic halo-cost model (1 h 96 kHz stereo, M=%d):" % (taps - 1))
+    log("  shards  local-span  t_comp(ms)  t_ici(us)  eff_ici  t_dcn(us)  eff_dcn")
+    for t in (2, 4, 8, 16, 64, 256):
+        s_local = n // t
+        # per-chip compute: 2 channels' local span at the measured rate
+        t_comp = 2 * s_local / chip_rate
+        t_ici = halo_bytes / ICI_BW
+        t_dcn = halo_bytes / DCN_BW
+        eff_ici = t_comp / (t_comp + t_ici)
+        eff_dcn = t_comp / (t_comp + t_dcn)
+        rows.append({"shards": t, "local_span": s_local,
+                     "eff_ici": eff_ici, "eff_dcn": eff_dcn})
+        log(f"  {t:6d}  {s_local:10d}  {t_comp*1e3:10.3f}  "
+            f"{t_ici*1e6:9.2f}  {eff_ici:7.4f}  {t_dcn*1e6:9.2f}  "
+            f"{eff_dcn:7.4f}")
+    log("  (efficiency = t_comp/(t_comp+t_halo), zero-overlap worst case;"
+        " BASELINE gate is >= 0.80 at 2 hosts)")
+    return rows
+
+
+def run_scaling(log) -> None:
+    """Parent entry: analytic model + measured CPU-mesh child."""
+    halo_cost_model(log)
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        " --xla_force_host_platform_device_count=8")
+    log("measured communication structure (8 virtual CPU devices, "
+        "shard_map+ppermute):")
+    proc = subprocess.run(
+        [sys.executable, "-m", "audio_fir_filter_tpu.parallel.scaling_bench"],
+        env=env, capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))))
+    for line in proc.stderr.splitlines():
+        if not line.startswith("WARNING"):
+            log("  " + line)
+    if proc.returncode != 0:
+        log(f"  child failed rc={proc.returncode}")
+        return
+    base = None
+    for line in proc.stdout.splitlines():
+        row = json.loads(line)
+        if base is None:
+            base = row["rate"]
+        eff = row["rate"] / base
+        log(f"  T={row['t']}: {row['rate']/1e6:8.1f} Ms/s  "
+            f"(vs T=1: {eff:.3f}; flat is ideal on one host)")
+
+
+def run_child() -> None:
+    """Child: time sharded_filter at T = 1/2/4/8 on the CPU mesh."""
+    import time
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from ..ops import kernel_design as kd
+    from ..ops import overlap_save as osv
+    from .mesh import make_mesh
+    from .sharded_conv import sharded_filter
+
+    taps = kd.highpass_taps(FREQ / FS, kd.kernel_length(SLOPE / FS))
+    # "fast" keeps the CPU child quick; the collective schedule is
+    # precision-independent.
+    plan = osv.make_plan(taps, precision="fast")
+    c = 2
+    n = 8 * max(1 << 17, ((plan.mo2 + plan.hop) // plan.hop) * plan.hop)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-0.5, 0.5, (c, n)).astype(np.float32))
+
+    for t in (1, 2, 4, 8):
+        mesh = make_mesh((1, t), jax.devices()[:t])
+        y, peak = sharded_filter(x, plan, mesh)          # compile + warm
+        np.asarray(y[0, :8])
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            y, peak = sharded_filter(x, plan, mesh)
+        np.asarray(y[0, :8]), np.asarray(peak)
+        dt = (time.perf_counter() - t0) / reps
+        print(json.dumps({"t": t, "rate": c * n / dt}), flush=True)
+
+
+if __name__ == "__main__":
+    run_child()

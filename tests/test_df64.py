@@ -238,7 +238,7 @@ def test_pallas_conv_matches_reference():
     x = rng.uniform(-1, 1, (4, n)).astype(np.float32)
     h = rng.standard_normal(n) * np.exp(-np.arange(n) / 40.0)
     H2 = jax.tree.map(jnp.asarray, arith.wrap_np(
-        fft_core.fourstep_dif_fft_np(h, *fft_core.fourstep_split(n))))
+        pallas_fft.kernel_spectrum_np(h, n)))
     got = np.asarray(pallas_fft.pallas_conv_real_blocks(
         jnp.asarray(x), H2, arith))
     want = np.stack([
