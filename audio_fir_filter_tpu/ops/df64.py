@@ -224,6 +224,71 @@ def cadd_relaxed(x: CDF64, y: CDF64) -> CDF64:
     return CDF64(add_relaxed(x.re, y.re), add_relaxed(x.im, y.im))
 
 
+# ----------------------------------------------- presplit constant multiply
+#
+# Multiplying by a CONSTANT table (FFT twiddles, the kernel spectrum) does
+# not need the full symmetric mul: the constant's Dekker split is computed
+# once on HOST and stored as two extra planes (DF64Const.hh/hl), and the
+# value operand's split is computed once and SHARED across the four real
+# muls of a complex multiply. Inside a Pallas kernel — where tables are
+# runtime VMEM loads, not XLA-foldable embedded constants — this cuts a
+# relaxed complex constant-multiply from ~96 to ~70 f32 flops. Accuracy is
+# the same as mul_relaxed (identical error-free hi-part product; the same
+# lo*lo term dropped).
+
+class DF64Const(NamedTuple):
+    """A double-float constant with its hi part pre-Dekker-split
+    (hh + hl == hi exactly). A JAX pytree."""
+
+    hi: jnp.ndarray
+    hh: jnp.ndarray
+    hl: jnp.ndarray
+    lo: jnp.ndarray
+
+
+class CDF64Const(NamedTuple):
+    re: DF64Const
+    im: DF64Const
+
+
+def const_split_np(x64: np.ndarray) -> DF64Const:
+    """Host-side exact split of float64 into (hi, hh, hl, lo) NumPy planes."""
+    hi, lo = df64_split_np(x64)
+    t = _SPLIT * hi
+    hh = (t - (t - hi)).astype(np.float32)
+    return DF64Const(hi, hh, hi - hh, lo)
+
+
+def cconst_split_np(z64: np.ndarray) -> CDF64Const:
+    z64 = np.asarray(z64, np.complex128)
+    return CDF64Const(const_split_np(z64.real), const_split_np(z64.imag))
+
+
+def conj_const(c: CDF64Const) -> CDF64Const:
+    return CDF64Const(c.re, DF64Const(-c.im.hi, -c.im.hh, -c.im.hl, -c.im.lo))
+
+
+def _mul_const_split(xhi, xlo, xh, xl, c: DF64Const) -> DF64:
+    """Relaxed x * c given x's shared split (xh + xl == xhi).
+
+    Keeps ALL four Dekker partial products (xl*c.hl is ~2^-24 relative —
+    required for the error-free hi product); the only dropped term is the
+    df64 cross term xlo*c.lo (~2^-48 relative), as in mul_relaxed."""
+    p = xhi * c.hi
+    err = ((xh * c.hh - p) + xh * c.hl + xl * c.hh) + xl * c.hl
+    return DF64(p, err + (xhi * c.lo + xlo * c.hi))
+
+
+def cmul_const_relaxed(x: CDF64, c: CDF64Const) -> CDF64:
+    rh, rl = _split(x.re.hi)
+    ih, il = _split(x.im.hi)
+    m_rr = _mul_const_split(x.re.hi, x.re.lo, rh, rl, c.re)
+    m_ii = _mul_const_split(x.im.hi, x.im.lo, ih, il, c.im)
+    m_ri = _mul_const_split(x.re.hi, x.re.lo, rh, rl, c.im)
+    m_ir = _mul_const_split(x.im.hi, x.im.lo, ih, il, c.re)
+    return CDF64(add_relaxed(m_rr, neg(m_ii)), add_relaxed(m_ri, m_ir))
+
+
 def csub_relaxed(x: CDF64, y: CDF64) -> CDF64:
     return CDF64(add_relaxed(x.re, neg(y.re)), add_relaxed(x.im, neg(y.im)))
 

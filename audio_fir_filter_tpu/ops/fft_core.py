@@ -58,7 +58,15 @@ class C32(NamedTuple):
 
 
 class _ArithF32:
-    """Complex ops on C32. Cheap, ~24-bit mantissa."""
+    """Complex ops on C32. Cheap, ~24-bit mantissa.
+
+    Every arith also provides a CONSTANT-table interface: tables built by
+    ``make_const_np`` are consumed only by ``mul_const``/``conj_const``.
+    For f32 and strict df64 these alias the plain representation; the
+    relaxed df64 arith stores presplit planes (df64.DF64Const) so Pallas
+    kernels — where tables are runtime VMEM loads, not XLA-foldable
+    constants — skip the constant's Dekker split at runtime.
+    """
 
     name = "f32"
     T = C32
@@ -107,6 +115,11 @@ class _ArithF32:
         s = jnp.float32(_RSQRT2_64)
         return C32(a.re * s, a.im * s)
 
+    # constant-table interface (aliases the plain representation)
+    make_const_np = None  # bound below (= wrap_np)
+    mul_const = None      # bound below (= mul)
+    conj_const = None     # bound below (= conj)
+
 
 class _ArithDF64:
     """Complex ops on CDF64 (double-float pairs, ~49-bit mantissa)."""
@@ -138,19 +151,29 @@ class _ArithDF64:
         return dd.CDF64(dd.mul_dconst(a.re, _RSQRT2_HI, _RSQRT2_LO),
                         dd.mul_dconst(a.im, _RSQRT2_HI, _RSQRT2_LO))
 
+    make_const_np = None  # bound below (= wrap_np)
+    mul_const = None      # bound below (= mul)
+    conj_const = None     # bound below (= conj)
+
 
 class _ArithDF64Relaxed(_ArithDF64):
     """df64 with unnormalized intermediates (df64.py 'relaxed' ops):
-    ~25% fewer VPU flops, same layouts/tables ("df64" name is deliberate —
-    twiddle/spectrum tables are representation-identical). Accuracy margin
-    analyzed at df64.add_relaxed; gated by the same oracle tests and the
-    hardware fidelity gate as the strict path."""
+    ~25% fewer VPU flops. Constant tables are PRESPLIT
+    (df64.DF64Const planes; another ~1.4x on complex constant-multiplies
+    inside Pallas kernels, where tables are runtime loads). Accuracy
+    margin analyzed at df64.add_relaxed / cmul_const_relaxed; gated by
+    the same oracle tests and the hardware fidelity gate as the strict
+    path."""
 
-    name = "df64"
+    name = "df64r"
 
     add = staticmethod(dd.cadd_relaxed)
     sub = staticmethod(dd.csub_relaxed)
     mul = staticmethod(dd.cmul_relaxed)
+
+    make_const_np = staticmethod(dd.cconst_split_np)
+    mul_const = staticmethod(dd.cmul_const_relaxed)
+    conj_const = staticmethod(dd.conj_const)
 
     @staticmethod
     def mul_rsqrt2(a):
@@ -165,9 +188,22 @@ class _ArithDF64Relaxed(_ArithDF64):
         return z.re.hi + z.re.lo, z.im.hi + z.im.lo
 
 
+_ArithF32.make_const_np = _ArithF32.wrap_np
+_ArithF32.mul_const = _ArithF32.mul
+_ArithF32.conj_const = _ArithF32.conj
+_ArithDF64.make_const_np = _ArithDF64.wrap_np
+_ArithDF64.mul_const = _ArithDF64.mul
+_ArithDF64.conj_const = _ArithDF64.conj
+
 ARITH_F32 = _ArithF32
 ARITH_DF64 = _ArithDF64
 ARITH_DF64_RELAXED = _ArithDF64Relaxed
+
+_ARITHS = {"f32": ARITH_F32, "df64": ARITH_DF64, "df64r": ARITH_DF64_RELAXED}
+
+
+def arith_by_name(name: str):
+    return _ARITHS[name]
 
 # 1/sqrt(2) as a double-float constant (for the radix-8 omega_8 rotations).
 _RSQRT2_64 = 1.0 / np.sqrt(2.0)
@@ -214,7 +250,7 @@ def _stage_twiddles(n: int, arith_name: str):
     would leak tracers through this cache; NumPy constants are re-embedded
     safely in every trace.
     """
-    arith = ARITH_F32 if arith_name == "f32" else ARITH_DF64
+    arith = arith_by_name(arith_name)
     stages = []
     eta = n
     while eta > 1:
@@ -229,7 +265,7 @@ def _stage_twiddles(n: int, arith_name: str):
 @functools.lru_cache(maxsize=64)
 def _untangle_twiddles(n: int, arith_name: str):
     """W1[k] = exp(-2*pi*i*k/n), k = 0..n/2, and its conjugate."""
-    arith = ARITH_F32 if arith_name == "f32" else ARITH_DF64
+    arith = arith_by_name(arith_name)
     k = np.arange(n // 2 + 1, dtype=np.float64)
     w1 = np.exp(-2j * np.pi * k / n)
     return arith.wrap_np(w1), arith.wrap_np(np.conj(w1))
@@ -386,7 +422,7 @@ def _pease_tables_np(n: int):
 
 @functools.lru_cache(maxsize=64)
 def _pease_tables(n: int, arith_name: str):
-    arith = ARITH_F32 if arith_name == "f32" else ARITH_DF64
+    arith = arith_by_name(arith_name)
     w2, w4 = _pease_tables_np(n)
     return (None if w2 is None else arith.wrap_np(w2),
             None if w4 is None else arith.wrap_np(w4))
@@ -610,8 +646,10 @@ def dif_tables_np(n: int, plan=None):
 
 @functools.lru_cache(maxsize=64)
 def dif_tables(n: int, arith_name: str, plan=None):
-    arith = ARITH_F32 if arith_name == "f32" else ARITH_DF64
-    return tuple(tuple(arith.wrap_np(w) for w in ws)
+    """Stage twiddles in the arith's CONSTANT representation (consumed by
+    ``arith.mul_const`` in the stage bodies)."""
+    arith = arith_by_name(arith_name)
+    return tuple(tuple(arith.make_const_np(w) for w in ws)
                  for ws in dif_tables_np(n, plan))
 
 
@@ -665,7 +703,7 @@ def dif_stage(z, kind: str, d: int, ws, arith):
             lambda *ps: jnp.stack(ps, axis=-3).reshape(shp), *parts)
 
     def tw(y, r):
-        return y if d == 1 else arith.mul(y, ws[r - 1])
+        return y if d == 1 else arith.mul_const(y, ws[r - 1])
 
     radix = {"r2": 2, "r4": 4, "r8": 8}[kind]
     v = _tmap(lambda t: t.reshape(
@@ -726,7 +764,7 @@ def dit_stage(y, kind: str, d: int, ws, arith):
     # u_r = in_r * conj(w_r); a d == 1 stage's twiddles are exactly 1.
     u = [_tmap(lambda t, r=r: t[..., r, :, :], v) for r in range(radix)]
     if d > 1:
-        u = [u[0]] + [arith.mul(u[r], arith.conj(ws[r - 1]))
+        u = [u[0]] + [arith.mul_const(u[r], arith.conj_const(ws[r - 1]))
                       for r in range(1, radix)]
 
     if kind == "r2":
@@ -875,7 +913,7 @@ def fourstep_fft_np(x64: np.ndarray, r: int, c: int) -> np.ndarray:
 @functools.lru_cache(maxsize=64)
 def _pease_tables_rows(n: int, arith_name: str):
     """Row-axis twiddles, shaped [.., q, 1] to broadcast over the lane batch."""
-    arith = ARITH_F32 if arith_name == "f32" else ARITH_DF64
+    arith = arith_by_name(arith_name)
     w2, w4 = _pease_tables_np(n)
     return (None if w2 is None else arith.wrap_np(w2[:, None]),
             None if w4 is None else arith.wrap_np(w4[..., None]))
@@ -883,7 +921,7 @@ def _pease_tables_rows(n: int, arith_name: str):
 
 @functools.lru_cache(maxsize=16)
 def _fourstep_twiddle(r: int, c: int, arith_name: str):
-    arith = ARITH_F32 if arith_name == "f32" else ARITH_DF64
+    arith = arith_by_name(arith_name)
     return arith.wrap_np(_fourstep_twiddle_np(r, c))
 
 
@@ -1032,7 +1070,7 @@ def fourstep_conv_real_blocks(blocks: jnp.ndarray, H2,
 
 @functools.lru_cache(maxsize=16)
 def _fourstep_dif_twiddle(r: int, c: int, arith_name: str):
-    arith = ARITH_F32 if arith_name == "f32" else ARITH_DF64
+    arith = arith_by_name(arith_name)
     return arith.wrap_np(_fourstep_dif_twiddle_np(r, c))
 
 

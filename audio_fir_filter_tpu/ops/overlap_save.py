@@ -143,9 +143,12 @@ def make_plan(taps: np.ndarray, precision: str = HIGH, block_size: int = 0,
     if engine == "fourstep":
         H64 = fft_core.fourstep_dif_fft_np(hr, *fft_core.fourstep_split(b))
     elif engine == "pallas":
-        # The fused kernel's roll-plan four-step layout.
+        # The fused kernel's plan-aware four-step layout, in the KERNEL
+        # arith's constant representation (presplit planes for "high").
         from . import pallas_fft
-        H64 = pallas_fft.kernel_spectrum_np(hr, b)
+        H = pallas_fft.wrap_spectrum(
+            pallas_fft.kernel_spectrum_np(hr, b, arith), arith)
+        return OverlapSavePlan(t, b, precision, engine, conv_chunk, H=H)
     elif engine == "pease":
         H64 = fft_core.pease_fft_np(hr)       # permuted-order spectrum
     elif engine == "stockham":
@@ -225,6 +228,16 @@ def _same_filter_impl(x: jax.Array, plan_static: tuple, H) -> jax.Array:
     nb += nb & 1  # even block count: two real blocks per complex FFT
     # Pad so the reshape-based blocking can take k = ceil(B/hop) shifted
     # contiguous views: len(xp) = (nb + k - 1) * hop >= nb*hop + m.
+    if engine == "pallas":
+        # Whole-segment fused kernel: windows DMA'd straight from HBM,
+        # only valid hops written — no block matrix, no unfold pass.
+        # (Frames itself: a slightly shorter, tile-aligned hop.)
+        from . import pallas_fft
+        arith = ARITH_F32 if precision == FAST else ARITH_DF64
+        y = pallas_fft.pallas_segment_filter(x, t, b, H, arith)
+        if y is not None:
+            return y
+
     k = -(-b // hop)
     pad_right = (nb + k - 1) * hop - mo2 - n
     xp = jnp.pad(x, ((0, 0), (mo2, pad_right)))

@@ -23,31 +23,34 @@ Stage formulation (measured on v5e, experiments/mosaic_stages*.py):
 - In-kernel [n, n] transposes and elementwise complex multiplies are
   ~at the copy floor.
 
-So every stage here is a roll butterfly: the phase plan is
-``fft_core.dif_plan_roll(n, n)`` — all radix-2, block lengths n/2 .. 1.
-The digit-reversed row order this produces is never materialized: the
+So the phase plan (:func:`phase_plan`) is MIXED: the standard r2/r4
+strided plan down to block length ROLL_BELOW, then radix-2 roll stages
+for the fine tail — strided coarse stages do half the twiddle
+multiplies of a full-height roll stage (roll form multiplies the top
+butterfly halves by 1), rolls fix exactly the granularities Mosaic is
+bad at. The digit-reversed row order is never materialized: the
 kernel's spectrum layout (:func:`kernel_spectrum_np`) and the four-step
 twiddle are generated on host by the plan-aware mirrors
 (fft_core.fourstep_dif_fft_np / _fourstep_dif_twiddle_np).
 
-Rolls are mathematically the SAME radix-2 stages as the strided
+Roll stages are mathematically the SAME radix-2 stages as the strided
 formulation (fft_core.dif_stage), so the host float64 mirror
 ``fft_core.dif_fft_np(x, plan)`` validates them directly.
 
 Precision: for the "high" path the in-kernel arithmetic is the RELAXED
-double-float variant (fft_core.ARITH_DF64_RELAXED — unnormalized
-intermediates, ~25% fewer VPU flops; error analysis at
-df64.add_relaxed). The kernel is VPU-bound, so unlike the XLA engine the
-flop cut is expected to pay here. Same oracle gates as every engine.
+double-float variant with PRESPLIT constant tables
+(fft_core.ARITH_DF64_RELAXED — unnormalized intermediates and
+host-precomputed Dekker splits of every twiddle/spectrum table, ~96 ->
+~70 f32 flops per complex constant-multiply; error analysis at
+df64.add_relaxed / cmul_const_relaxed). The kernel is VPU-bound, so
+unlike the HBM-bound XLA engine these flop cuts convert to time. Same
+oracle gates as every engine.
 
-STATUS (measured on v5e at B=2^18, chunk 16; experiments/fused_ab.py):
-f32: 1.397 ms = 3.00 Gs/s raw — 1.8x the XLA fourstep engine (2.512 ms).
-df64: 3.945 ms = 1.06 Gs/s — VPU-bound on double-float butterfly flops
-(~3.2 Tflop/s sustained, at the VPU roofline for the current per-point
-flop count), 0.68x the HBM-bound XLA engine. Cross-engine max|diff| vs
-fourstep: 0.25 LSB@24 (df64). The df64 flop-count reductions (presplit
-twiddle tables, shared Dekker splits, mixed strided/roll plan) are the
-active optimization path.
+STATUS: measured numbers live in experiments/fused_ab.py runs recorded
+in the commit log; at the all-roll/no-presplit baseline the kernel ran
+f32 1.397 ms = 3.0 Gs/s (1.8x the XLA fourstep engine) and df64
+3.945 ms (VPU-bound at ~3.2 Tflop/s). Cross-engine max|diff| vs
+fourstep: 0.25 LSB@24 (df64).
 
 Shapes: Mosaic needs lane dim >= 128 and sublane dim >= 8 to tile well;
 below that (tiny test blocks on a real TPU) the same math runs as a
@@ -61,6 +64,7 @@ direct-convolution hot loop /root/reference/FilterCore.h:64-69.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -80,22 +84,60 @@ def _tmap(f, *trees):
     return jax.tree.map(f, *trees)
 
 
-def _arith(name: str):
-    return ARITH_F32 if name == "f32" else ARITH_DF64
+# Stage-plan policy, per in-kernel arithmetic: stages with block length
+# below the threshold run as sublane-roll butterflies, coarser stages
+# keep the strided contiguous-block form (fc.dif_stage). Strided form
+# does HALF the twiddle multiplies (roll form multiplies the top
+# butterfly halves by 1) but lowers worse in Mosaic; where the balance
+# lands depends on the cost of a multiply (A/B on v5e,
+# experiments/fused_ab.py):
+#   f32   -> all-roll (muls are cheap; strided lowering overhead loses:
+#            1.40 ms all-roll vs 1.94 ms mixed at B=2^18 chunk 16)
+#   df64r -> mixed at 16 (each complex mul is ~70 flops; halving the mul
+#            count wins: 2.84 ms mixed vs 3.95 ms all-roll)
+_ROLL_BELOW = {"f32": 1 << 30, "df64r": 16, "df64": 16}
+
+# Tuning overrides (read once at import; used by experiments/kernel_tune
+# sweeps — table caches key on plan shape, so these must not change after
+# first use in a process).
+if os.environ.get("LOWCUT_ROLL_BELOW_DF64"):
+    _ROLL_BELOW["df64r"] = _ROLL_BELOW["df64"] = int(
+        os.environ["LOWCUT_ROLL_BELOW_DF64"])
+if os.environ.get("LOWCUT_ROLL_BELOW_F32"):
+    _ROLL_BELOW["f32"] = int(os.environ["LOWCUT_ROLL_BELOW_F32"])
 
 
-def phase_plan(n: int):
-    """The kernel's stage plan for a length-n row transform: all radix-2
-    (every stage lowers as a sublane roll)."""
-    return fc.dif_plan_roll(n, n)
+def _kernel_arith(arith):
+    """The in-kernel arithmetic for a caller-facing arith: the relaxed
+    presplit-table df64 variant for the high path, unchanged otherwise."""
+    return ARITH_DF64_RELAXED if arith is ARITH_DF64 else arith
 
 
-def kernel_spectrum_np(h_padded: np.ndarray, b: int) -> np.ndarray:
+def phase_plan(n: int, arith_name: str):
+    """The kernel's stage plan for a length-n row transform: the standard
+    r2/r4 plan with the fine tail decomposed to radix-2 roll stages."""
+    return fc.dif_plan_roll(n, min(_ROLL_BELOW[arith_name], n))
+
+
+def _is_roll(kind: str, d: int, arith_name: str) -> bool:
+    return kind == "r2" and d < _ROLL_BELOW[arith_name]
+
+
+def kernel_spectrum_np(h_padded: np.ndarray, b: int, arith) -> np.ndarray:
     """Host float64 spectrum of the (reversed, zero-padded) kernel in THIS
-    engine's four-step layout: [C, R], roll plans on both phases."""
+    engine's four-step layout: [C, R], phase_plan on both phases."""
     r, c = fc.fourstep_split(b)
+    an = _kernel_arith(arith).name
     return fc.fourstep_dif_fft_np(h_padded, r, c,
-                                  plan_r=phase_plan(r), plan_c=phase_plan(c))
+                                  plan_r=phase_plan(r, an),
+                                  plan_c=phase_plan(c, an))
+
+
+def wrap_spectrum(H64: np.ndarray, arith):
+    """Device-ready kernel spectrum in the KERNEL arith's constant
+    representation (presplit planes for the high path)."""
+    ka = _kernel_arith(arith)
+    return jax.tree.map(jnp.asarray, ka.make_const_np(H64))
 
 
 # ------------------------------------------------------------ host tables
@@ -112,13 +154,22 @@ def _roll_twiddle_np(n: int, d: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=16)
 def _phase_tables_np(n: int, arith_name: str):
-    """Per-stage roll twiddles for phase_plan(n); None for d == 1 (all
-    twiddles exactly 1 — the stage skips its multiply)."""
-    arith = _arith(arith_name)
+    """Per-stage twiddles for phase_plan(n), in the arith's CONSTANT
+    representation: roll stages get a full-height [n, 1] table (None for
+    d == 1 — all twiddles exactly 1), strided stages the usual [d, 1]
+    per-component tuple."""
+    arith = fc.arith_by_name(arith_name)
+    plan = phase_plan(n, arith_name)
+    strided = fc.dif_tables_np(n, plan)
     out = []
-    for kind, d in phase_plan(n):
-        assert kind == "r2"
-        out.append(None if d == 1 else arith.wrap_np(_roll_twiddle_np(n, d)))
+    for (kind, d), ws in zip(plan, strided):
+        if _is_roll(kind, d, arith_name):
+            # d == 1: all twiddles exactly 1; d == 2: {1, -i}, handled as
+            # a select of mul_neg_i in the stage body — no table either.
+            out.append(None if d <= 2
+                       else arith.make_const_np(_roll_twiddle_np(n, d)))
+        else:
+            out.append(tuple(arith.make_const_np(w) for w in ws))
     return tuple(out)
 
 
@@ -126,14 +177,15 @@ def _phase_tables_np(n: int, arith_name: str):
 def _conv_tables_np(b: int, arith_name: str):
     """All constant inputs of the fused kernel for block size b. The
     conjugate four-step twiddle is NOT tabulated — the kernel conjugates
-    T tile-by-tile (a [r, LT] negation is cheaper than 4 MiB more VMEM)."""
-    arith = _arith(arith_name)
+    T tile-by-tile (a [r, LT] negation is cheaper than doubling T's VMEM
+    residency)."""
+    arith = fc.arith_by_name(arith_name)
     r, c = fc.fourstep_split(b)
-    T = fc._fourstep_dif_twiddle_np(r, c, plan_r=phase_plan(r))
+    T = fc._fourstep_dif_twiddle_np(r, c, plan_r=phase_plan(r, arith_name))
     return {
         "tw_r": _phase_tables_np(r, arith_name),
         "tw_c": _phase_tables_np(c, arith_name),
-        "T": arith.wrap_np(T),
+        "T": arith.make_const_np(T),
     }
 
 
@@ -162,40 +214,71 @@ def _roll(z, shift: int, n: int):
     return _tmap(one, z)
 
 
+def _sel(m, a, b_):
+    return _tmap(lambda p, q: jnp.where(m, p, q), a, b_)
+
+
+def _d2_rows(n: int):
+    """[n, 1] bool: rows whose d=2 stage twiddle is 1 — the whole top half
+    of each 4-row group ((i & 2) == 0) plus the bottom half's j=0 rows
+    ((i & 1) == 0); the rest multiply by exactly -i (j=1 of
+    exp(-2*pi*i*j/4))."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    return ((rows & 2) == 0) | ((rows & 1) == 0)
+
+
 def _roll_stage_fwd(z, d: int, w, n: int, arith):
     """One radix-2 DIF stage at block length d via sublane rolls: the
     same math as fft_core.dif_stage('r2', d) — top rows a+b, bottom rows
-    (a-b)*w — with partners fetched by roll instead of strided slices."""
+    (a-b)*w — with partners fetched by roll instead of strided slices.
+
+    d == 2 is special-cased: its twiddles are exactly {1, -i}, so the
+    full-height complex multiply collapses to a select of mul_neg_i
+    (w is None for that stage, as for d == 1)."""
     m = _mask(n, d)
     u = _roll(z, -d, n)                      # z[i+d] (top rows' partner)
     v = _roll(z, d, n)                       # z[i-d] (bottom rows' partner)
-    merged = _tmap(lambda a, b_: jnp.where(m, a, b_),
-                   arith.add(z, u), arith.sub(v, z))
-    return merged if w is None else arith.mul(merged, w)
+    merged = _sel(m, arith.add(z, u), arith.sub(v, z))
+    if d == 2:
+        return _sel(_d2_rows(n), merged, arith.mul_neg_i(merged))
+    return merged if w is None else arith.mul_const(merged, w)
 
 
 def _roll_stage_inv(z, d: int, w, n: int, arith):
     """Inverse (DIT) of :func:`_roll_stage_fwd`: conj twiddle applied on
     input, then top rows t[i] + t[i+d], bottom rows t[i-d] - t[i]."""
-    t = z if w is None else arith.mul(z, arith.conj(w))
+    if d == 2:
+        # conj of {1, -i} is {1, +i}; a * i = -(a * -i).
+        t = _sel(_d2_rows(n), z,
+                 arith.mul_pow2(arith.mul_neg_i(z), -1.0))
+    elif w is None:
+        t = z
+    else:
+        t = arith.mul_const(z, arith.conj_const(w))
     m = _mask(n, d)
     u = _roll(t, -d, n)
     v = _roll(t, d, n)
-    return _tmap(lambda a, b_: jnp.where(m, a, b_),
-                 arith.add(t, u), arith.sub(v, t))
+    return _sel(m, arith.add(t, u), arith.sub(v, t))
 
 
 def _run_fwd(z, n: int, tabs, arith):
-    for (kind, d), w in zip(phase_plan(n), tabs):
-        z = _roll_stage_fwd(z, d, w, n, arith)
+    for (kind, d), w in zip(phase_plan(n, arith.name), tabs):
+        if _is_roll(kind, d, arith.name):
+            z = _roll_stage_fwd(z, d, w, n, arith)
+        else:
+            z = fc.dif_stage(z, kind, d, w, arith)
     return z
 
 
 def _run_inv(z, n: int, tabs, arith):
     """Inverse stages (reversed plan), WITHOUT the 1/n scaling — the conv
     applies one combined 1/B at the end."""
-    for (kind, d), w in zip(reversed(phase_plan(n)), reversed(tabs)):
-        z = _roll_stage_inv(z, d, w, n, arith)
+    for (kind, d), w in zip(reversed(phase_plan(n, arith.name)),
+                            reversed(tabs)):
+        if _is_roll(kind, d, arith.name):
+            z = _roll_stage_inv(z, d, w, n, arith)
+        else:
+            z = fc.dit_stage(z, kind, d, w, arith)
     return z
 
 
@@ -206,13 +289,13 @@ def _conv_body(x0, x1, cc, r: int, c: int, arith):
     b = r * c
     z = arith.from_f32(x0, x1)
     z = _run_fwd(z, r, cc["tw_r"], arith)            # phase-1 fwd (rows=R)
-    z = arith.mul(z, cc["T"])
+    z = arith.mul_const(z, cc["T"])
     z = _tmap(lambda t: jnp.swapaxes(t, -1, -2), z)  # [c, r]
     z = _run_fwd(z, c, cc["tw_c"], arith)            # phase-2 fwd
-    z = arith.mul(z, cc["H"])                        # spectral multiply
+    z = arith.mul_const(z, cc["H"])                  # spectral multiply
     z = _run_inv(z, c, cc["tw_c"], arith)            # phase-2 inv
     z = _tmap(lambda t: jnp.swapaxes(t, -1, -2), z)  # [r, c]
-    z = arith.mul(z, arith.conj(cc["T"]))
+    z = arith.mul_const(z, arith.conj_const(cc["T"]))
     z = _run_inv(z, r, cc["tw_r"], arith)            # phase-1 inv
     z = arith.mul_pow2(z, 1.0 / b)
     return arith.to_f32(z)
@@ -229,7 +312,212 @@ def _use_interpret() -> bool:
 # [rows, LANE_TILE] column tiles between VMEM scratch and the VPU, so the
 # live SSA set is tile-sized: a monolithic [512, 512] body spills ~155 MiB
 # of VMEM (measured), the tiled one fits comfortably.
-LANE_TILE = 128
+LANE_TILE = int(os.environ.get("LOWCUT_LANE_TILE", 128))
+
+
+
+def _call_fused(cc, r: int, c: int, karith, interpret, *, grid, x_in,
+                in_spec, out_spec, out_shape, read_x, write_out,
+                extra_scratch=(), prologue=None):
+    """Shared fused-conv pallas_call: the 5-phase VMEM pipeline (pack,
+    phase-1 fwd + T, transpose, phase-2 fwd x H x inv, transpose, conj-T +
+    phase-1 inv, unpack) parameterized over how the kernel reads its two
+    real blocks and writes its outputs.
+
+    ``prologue(x_ref, scratch...)`` (optional) runs once per grid step
+    before the phases — the segment path uses it to DMA its overlapped
+    windows from HBM. ``read_x(x_ref_or_scratch, lane_slice)`` must return
+    the two real [r, lt] tiles; ``write_out(o_ref, lane_slice, re, im)``
+    stores the result tiles.
+    """
+    b = r * c
+    cleaves, cdef = jax.tree.flatten(cc)
+    ncst = len(cleaves)
+    # Planes per complex value in this arith (df64: 4, f32: 2), and the
+    # plane order used to park pytrees in scratch.
+    zdef = jax.tree.structure(karith.from_f32(jnp.zeros(()), jnp.zeros(())))
+    nplanes = zdef.num_leaves
+    lt_c = min(LANE_TILE, c)
+    lt_r = min(LANE_TILE, r)
+
+    def kernel(x_ref, *refs):
+        crefs = refs[:ncst]
+        o_ref, zA, zB = refs[ncst], refs[ncst + 1], refs[ncst + 2]
+        scratch = refs[ncst + 3:]
+        cc_r = jax.tree.unflatten(cdef, list(crefs))
+        tw_r = _tmap(lambda rf: rf[...], cc_r["tw_r"])
+        tw_c = _tmap(lambda rf: rf[...], cc_r["tw_c"])
+        xsrc = x_ref
+        if prologue is not None:
+            xsrc = prologue(x_ref, *scratch)
+
+        def store(ref, sl, z):
+            for k, leaf in enumerate(jax.tree.leaves(z)):
+                ref[k, :, sl] = leaf
+
+        def load(ref, sl):
+            return jax.tree.unflatten(
+                zdef, [ref[k, :, sl] for k in range(nplanes)])
+
+        # Tile loops are lax.fori_loop, NOT Python-unrolled: Mosaic gives
+        # each unrolled tile's SSA chain its own VMEM slots (measured
+        # 151 MiB > the 128 MiB chip), while a dynamic loop is compiled
+        # once and the live set is a single tile's chain.
+
+        # Phase A: pack + phase-1 forward + four-step twiddle, [r, lt_c]
+        # column tiles of the [r, c] block.
+        def phase_a(j, carry):
+            sl = pl.ds(j * lt_c, lt_c)
+            x0, x1 = read_x(xsrc, sl)
+            z = karith.from_f32(x0, x1)
+            z = _run_fwd(z, r, tw_r, karith)
+            z = karith.mul_const(z, _tmap(lambda rf: rf[:, sl], cc_r["T"]))
+            store(zA, sl, z)
+            return carry
+
+        jax.lax.fori_loop(0, c // lt_c, phase_a, 0)
+
+        # Transpose [r, c] -> [c, r], whole planes.
+        for k in range(nplanes):
+            zB[k] = jnp.swapaxes(zA[k], 0, 1)
+
+        # Phase B: phase-2 forward, spectral multiply, phase-2 inverse on
+        # [c, lt_r] column tiles.
+        def phase_b(j, carry):
+            sl = pl.ds(j * lt_r, lt_r)
+            z = load(zB, sl)
+            z = _run_fwd(z, c, tw_c, karith)
+            z = karith.mul_const(z, _tmap(lambda rf: rf[:, sl], cc_r["H"]))
+            z = _run_inv(z, c, tw_c, karith)
+            store(zB, sl, z)
+            return carry
+
+        jax.lax.fori_loop(0, r // lt_r, phase_b, 0)
+
+        # Transpose back.
+        for k in range(nplanes):
+            zA[k] = jnp.swapaxes(zB[k], 0, 1)
+
+        # Phase C: conjugate twiddle + phase-1 inverse + 1/B + unpack.
+        def phase_c(j, carry):
+            sl = pl.ds(j * lt_c, lt_c)
+            z = load(zA, sl)
+            z = karith.mul_const(
+                z, karith.conj_const(_tmap(lambda rf: rf[:, sl], cc_r["T"])))
+            z = _run_inv(z, r, tw_r, karith)
+            z = karith.mul_pow2(z, 1.0 / b)
+            re, im = karith.to_f32(z)
+            write_out(o_ref, sl, re, im)
+            return carry
+
+        jax.lax.fori_loop(0, c // lt_c, phase_c, 0)
+
+    # Constant index maps: Pallas fetches each table once and keeps it
+    # resident in VMEM across grid steps.
+    ndim_grid = len(grid)
+    cspecs = [pl.BlockSpec(cl.shape,
+                           lambda *i, _nd=cl.ndim: (0,) * _nd,
+                           memory_space=pltpu.VMEM) for cl in cleaves]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[in_spec] + cspecs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((nplanes, r, c), jnp.float32),
+            pltpu.VMEM((nplanes, c, r), jnp.float32),
+        ] + list(extra_scratch),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+    )(x_in, *cleaves)
+
+
+def pallas_segment_filter(x: jnp.ndarray, num_taps: int, b: int, H2,
+                          arith=ARITH_DF64, interpret: bool | None = None):
+    """Whole-segment fused path: overlap-save filtering of [C, N] in ONE
+    pallas_call, no materialized block matrix.
+
+    Owns its framing: the hop is the largest multiple of 8*c not above
+    B - M (>= 98.9% of the maximal hop at production shapes) so EVERY
+    window — including the second of each complex pair, offset by one
+    hop — starts on an 8-row (sublane-tile) boundary of the
+    [C, rows, c] signal view; Mosaic requires provably tile-aligned DMA
+    offsets.
+    Block j of channel ch DMAs window xp[ch, j*hop : j*hop + B] straight
+    from HBM and writes ONLY its valid rows (block positions
+    [M, M + hop)): HBM sees ~1.1x one signal read + exactly one valid
+    write — the separate gather (block-matrix materialization) and unfold
+    (valid-slice reassembly) passes of the generic path disappear.
+
+    Returns y [C, N] ('same' semantics, zero-padded edges), or None when
+    the shape does not qualify (caller falls back to the generic path).
+    """
+    if interpret is None:
+        interpret = _use_interpret()
+    ch_n, n = x.shape
+    r, c = fc.fourstep_split(b)
+    karith = _kernel_arith(arith)
+    m = num_taps - 1
+    mo2 = m // 2
+    hp = ((b - m) // (8 * c)) * (8 * c)
+    if hp <= 0 or m % c:
+        return None
+    if not interpret and (c < 128 or r < 8):
+        return None
+    hr = hp // c                       # valid rows per block
+    mr = m // c                        # alias-contaminated head rows
+    nb = -(-n // hp)
+    nb += nb & 1                       # two real blocks per complex FFT
+    xp = jnp.pad(x, ((0, 0), (mo2, nb * hp + (b - hp) - mo2 - n)))
+    rows_total = (nb * hp + (b - hp)) // c
+    xp3 = xp.reshape(ch_n, rows_total, c)
+    tabs = conv_tables(b, karith.name)
+    cc = dict(tabs, H=H2)
+
+    def prologue(x_ref, x0s, x1s, sems):
+        ch = pl.program_id(0)
+        kk = pl.program_id(1)
+        row0 = pl.multiple_of(2 * kk * hr, 8)
+        row1 = pl.multiple_of(2 * kk * hr + hr, 8)
+        dma0 = pltpu.make_async_copy(
+            x_ref.at[ch, pl.ds(row0, r), :], x0s, sems.at[0])
+        dma1 = pltpu.make_async_copy(
+            x_ref.at[ch, pl.ds(row1, r), :], x1s, sems.at[1])
+        dma0.start()
+        dma1.start()
+        dma0.wait()
+        dma1.wait()
+        return (x0s, x1s)
+
+    # Output is 4-D [C, nb/2, 2*hr, c] so the block's trailing two dims
+    # equal the full array dims (2*hr need not be sublane-aligned then);
+    # the flat [C, nb*hp] view below is the same row-major order.
+    y3 = _call_fused(
+        cc, r, c, karith, interpret,
+        grid=(ch_n, nb // 2),
+        x_in=xp3,
+        in_spec=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_spec=pl.BlockSpec((1, 1, 2 * hr, c),
+                              lambda ch, kk: (ch, kk, 0, 0),
+                              memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ch_n, nb // 2, 2 * hr, c),
+                                       jnp.float32),
+        read_x=lambda xs, sl: (xs[0][:, sl], xs[1][:, sl]),
+        write_out=lambda o_ref, sl, re, im: (
+            o_ref.__setitem__((0, 0, slice(0, hr), sl),
+                              re[mr:mr + hr, :]),
+            o_ref.__setitem__((0, 0, slice(hr, 2 * hr), sl),
+                              im[mr:mr + hr, :])),
+        extra_scratch=(
+            pltpu.VMEM((r, c), jnp.float32),
+            pltpu.VMEM((r, c), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ),
+        prologue=prologue,
+    )
+    return y3.reshape(ch_n, nb * hp)[:, :n]
 
 
 def pallas_conv_real_blocks(blocks: jnp.ndarray, H2, arith=ARITH_DF64,
@@ -249,8 +537,8 @@ def pallas_conv_real_blocks(blocks: jnp.ndarray, H2, arith=ARITH_DF64,
         interpret = _use_interpret()
     nb, b = blocks.shape
     r, c = fc.fourstep_split(b)
-    karith = ARITH_DF64_RELAXED if arith is ARITH_DF64 else arith
-    tabs = conv_tables(b, arith.name)
+    karith = _kernel_arith(arith)
+    tabs = conv_tables(b, karith.name)
     cc = dict(tabs, H=H2)
 
     if not interpret and (c < 128 or r < 8):
@@ -258,103 +546,20 @@ def pallas_conv_real_blocks(blocks: jnp.ndarray, H2, arith=ARITH_DF64,
         return _conv_xla_mirror(blocks, cc, r, c, karith)
 
     x = blocks.reshape(nb // 2, 2, r, c)
-    cleaves, cdef = jax.tree.flatten(cc)
-    ncst = len(cleaves)
-    # Planes per complex value in this arith (df64: 4, f32: 2), and the
-    # plane order used to park pytrees in scratch.
-    zdef = jax.tree.structure(karith.from_f32(jnp.zeros(()), jnp.zeros(())))
-    nplanes = zdef.num_leaves
-    lt_c = min(LANE_TILE, c)
-    lt_r = min(LANE_TILE, r)
-
-    def kernel(x_ref, *refs):
-        crefs = refs[:ncst]
-        o_ref, zA, zB = refs[ncst], refs[ncst + 1], refs[ncst + 2]
-        cc_r = jax.tree.unflatten(cdef, list(crefs))
-        tw_r = _tmap(lambda rf: rf[...], cc_r["tw_r"])
-        tw_c = _tmap(lambda rf: rf[...], cc_r["tw_c"])
-
-        def store(ref, sl, z):
-            for k, leaf in enumerate(jax.tree.leaves(z)):
-                ref[k, :, sl] = leaf
-
-        def load(ref, sl):
-            return jax.tree.unflatten(
-                zdef, [ref[k, :, sl] for k in range(nplanes)])
-
-        # Tile loops are lax.fori_loop, NOT Python-unrolled: Mosaic gives
-        # each unrolled tile's SSA chain its own VMEM slots (measured
-        # 151 MiB > the 128 MiB chip), while a dynamic loop is compiled
-        # once and the live set is a single tile's chain.
-
-        # Phase A: pack + phase-1 forward + four-step twiddle, [r, lt_c]
-        # column tiles of the [r, c] block.
-        def phase_a(j, carry):
-            sl = pl.ds(j * lt_c, lt_c)
-            z = karith.from_f32(x_ref[0, 0, :, sl], x_ref[0, 1, :, sl])
-            z = _run_fwd(z, r, tw_r, karith)
-            z = karith.mul(z, _tmap(lambda rf: rf[:, sl], cc_r["T"]))
-            store(zA, sl, z)
-            return carry
-
-        jax.lax.fori_loop(0, c // lt_c, phase_a, 0)
-
-        # Transpose [r, c] -> [c, r], whole planes.
-        for k in range(nplanes):
-            zB[k] = jnp.swapaxes(zA[k], 0, 1)
-
-        # Phase B: phase-2 forward, spectral multiply, phase-2 inverse on
-        # [c, lt_r] column tiles.
-        def phase_b(j, carry):
-            sl = pl.ds(j * lt_r, lt_r)
-            z = load(zB, sl)
-            z = _run_fwd(z, c, tw_c, karith)
-            z = karith.mul(z, _tmap(lambda rf: rf[:, sl], cc_r["H"]))
-            z = _run_inv(z, c, tw_c, karith)
-            store(zB, sl, z)
-            return carry
-
-        jax.lax.fori_loop(0, r // lt_r, phase_b, 0)
-
-        # Transpose back.
-        for k in range(nplanes):
-            zA[k] = jnp.swapaxes(zB[k], 0, 1)
-
-        # Phase C: conjugate twiddle + phase-1 inverse + 1/B + unpack.
-        def phase_c(j, carry):
-            sl = pl.ds(j * lt_c, lt_c)
-            z = load(zA, sl)
-            z = karith.mul(
-                z, karith.conj(_tmap(lambda rf: rf[:, sl], cc_r["T"])))
-            z = _run_inv(z, r, tw_r, karith)
-            z = karith.mul_pow2(z, 1.0 / b)
-            re, im = karith.to_f32(z)
-            o_ref[0, 0, :, sl] = re
-            o_ref[0, 1, :, sl] = im
-            return carry
-
-        jax.lax.fori_loop(0, c // lt_c, phase_c, 0)
-
-    xspec = pl.BlockSpec((1, 2, r, c), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM)
-    # Constant index maps: Pallas fetches each table once and keeps it
-    # resident in VMEM across grid steps.
-    cspecs = [pl.BlockSpec(cl.shape, lambda i, _nd=cl.ndim: (0,) * _nd,
-                           memory_space=pltpu.VMEM) for cl in cleaves]
-    y = pl.pallas_call(
-        kernel,
+    y = _call_fused(
+        cc, r, c, karith, interpret,
         grid=(nb // 2,),
-        in_specs=[xspec] + cspecs,
-        out_specs=xspec,
+        x_in=x,
+        in_spec=pl.BlockSpec((1, 2, r, c), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+        out_spec=pl.BlockSpec((1, 2, r, c), lambda i: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((nplanes, r, c), jnp.float32),
-            pltpu.VMEM((nplanes, c, r), jnp.float32),
-        ],
-        interpret=interpret,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
-    )(x, *cleaves)
+        read_x=lambda x_ref, sl: (x_ref[0, 0, :, sl], x_ref[0, 1, :, sl]),
+        write_out=lambda o_ref, sl, re, im: (
+            o_ref.__setitem__((0, 0, slice(None), sl), re),
+            o_ref.__setitem__((0, 1, slice(None), sl), im)),
+    )
     return y.reshape(nb, b)
 
 

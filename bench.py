@@ -50,7 +50,8 @@ def log(*a):
 
 def measure_chip_rate(freq: float, slope: float, fs: float, channels: int,
                       precision: str, block_size: int, segment_blocks: int,
-                      reps: int, engine: str = "fourstep") -> dict:
+                      reps: int, engine: str = "fourstep",
+                      conv_chunk: int = 0) -> dict:
     """Device-resident throughput of one filter configuration."""
     import jax
     import jax.numpy as jnp
@@ -61,7 +62,8 @@ def measure_chip_rate(freq: float, slope: float, fs: float, channels: int,
     rng = np.random.default_rng(0)
     ws = kd.WindowedSinc(freq / fs, slope / fs).make_low_cut()
     plan = osv.make_plan(ws.taps, precision=precision,
-                         block_size=block_size, engine=engine)
+                         block_size=block_size, engine=engine,
+                         conv_chunk=conv_chunk or osv.CONV_CHUNK)
     seg = segment_blocks * plan.hop
     log(f"kernel: {ws.num_taps} taps (M={ws.m}); block B={plan.block_size}, "
         f"hop {plan.hop}; precision={precision}; engine={engine}")
@@ -313,6 +315,8 @@ def main() -> int:
     ap.add_argument("--sample-rate", type=float, default=96000.0)
     ap.add_argument("--channels", type=int, default=2)
     ap.add_argument("--block-size", type=int, default=0)
+    ap.add_argument("--conv-chunk", type=int, default=0,
+                    help="blocks per in-jit conv step (0 = engine default)")
     ap.add_argument("--segment-blocks", type=int, default=63,
                     help="hops per timed segment (default 63: the extended "
                          "segment then blocks into exactly 64 = 4*conv_chunk "
@@ -351,7 +355,8 @@ def main() -> int:
 
     res = measure_chip_rate(args.freq, args.slope, fs, args.channels,
                             args.precision, args.block_size,
-                            args.segment_blocks, args.reps, args.engine)
+                            args.segment_blocks, args.reps, args.engine,
+                            args.conv_chunk)
     chip_rate = res["rate"]
     if args.roofline:
         roofline_report(res["plan"], chip_rate)

@@ -57,8 +57,7 @@ def main():
     for name, arith in (("df64", ARITH_DF64), ("f32", ARITH_F32)):
         H_four = jax.tree.map(jnp.asarray, arith.wrap_np(
             fc.fourstep_dif_fft_np(h, r, c)))
-        H_roll = jax.tree.map(jnp.asarray, arith.wrap_np(
-            pf.kernel_spectrum_np(h, b)))
+        H_roll = pf.wrap_spectrum(pf.kernel_spectrum_np(h, b, arith), arith)
 
         fn_x = jax.jit(lambda x, a=arith, H=H_four:
                        fc.fourstep_conv_real_blocks(x, H, a))

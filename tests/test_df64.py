@@ -237,8 +237,8 @@ def test_pallas_conv_matches_reference():
     rng = np.random.default_rng(41)
     x = rng.uniform(-1, 1, (4, n)).astype(np.float32)
     h = rng.standard_normal(n) * np.exp(-np.arange(n) / 40.0)
-    H2 = jax.tree.map(jnp.asarray, arith.wrap_np(
-        pallas_fft.kernel_spectrum_np(h, n)))
+    H2 = pallas_fft.wrap_spectrum(
+        pallas_fft.kernel_spectrum_np(h, n, arith), arith)
     got = np.asarray(pallas_fft.pallas_conv_real_blocks(
         jnp.asarray(x), H2, arith))
     want = np.stack([
@@ -275,3 +275,38 @@ def test_fourstep_roundtrip_and_convolution(n, arith_name):
         tol = scale * (2 ** -18 if arith_name == "f32" else 2 ** -21)
         assert np.max(np.abs(gi - want)) < tol
         assert np.max(np.abs(gp - want)) < tol
+
+
+def test_cmul_const_relaxed_accuracy():
+    """Presplit constant multiply (df64.cmul_const_relaxed) vs complex128:
+    same bound as the symmetric cmul (it drops only lo*lo terms)."""
+    import jax
+
+    from audio_fir_filter_tpu.ops import df64 as dd
+
+    rng = np.random.default_rng(5)
+    a64 = rng.uniform(-2, 2, 4096) + 1j * rng.uniform(-2, 2, 4096)
+    c64 = np.exp(1j * rng.uniform(0, 2 * np.pi, 4096))  # unit twiddles
+    a = dd.csplit_array(a64)
+    c = jax.tree.map(jnp.asarray, dd.cconst_split_np(c64))
+    # hh + hl must reconstruct hi exactly (error-free Dekker split)
+    np.testing.assert_array_equal(
+        np.asarray(c.re.hh) + np.asarray(c.re.hl), np.asarray(c.re.hi))
+    got = jax.jit(dd.cmul_const_relaxed)(a, c)
+    want = a64 * c64
+    err = np.abs((dd.to_f64(got.re) + 1j * dd.to_f64(got.im)) - want)
+    # XLA:CPU's excess-precision fusion sporadically breaks Dekker splits
+    # (see fft_core.py docstring) — strict f32 hardware gets the true bound.
+    from util import on_cpu
+    tol = 2 ** -23 if on_cpu() else 2 ** -44
+    assert err.max() < np.abs(want).max() * tol
+
+
+def test_conj_const_negates_imaginary():
+    from audio_fir_filter_tpu.ops import df64 as dd
+
+    c = dd.cconst_split_np(np.array([1.25 + 2.5j, -0.5 - 0.125j]))
+    cc = dd.conj_const(c)
+    np.testing.assert_array_equal(np.asarray(cc.im.hi), -np.asarray(c.im.hi))
+    np.testing.assert_array_equal(np.asarray(cc.im.hh), -np.asarray(c.im.hh))
+    np.testing.assert_array_equal(np.asarray(cc.re.hi), np.asarray(c.re.hi))

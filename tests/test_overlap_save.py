@@ -128,3 +128,40 @@ def test_engines_match_oracle(engine):
     y = np.asarray(osv.same_filter(x, plan))
     ref = oracle.direct_filter(x, ws.taps)
     assert oracle.max_lsb_error(y, ref, bits=24) <= high_tol_lsb24()
+
+
+def test_pallas_segment_path_matches_oracle_and_falls_back():
+    """The whole-segment fused kernel (ops/pallas_fft.pallas_segment_filter,
+    interpret mode on CPU): multi-block signals with ragged tails vs the
+    float64 oracle, and graceful None-fallback when hop/m do not divide the
+    lane width."""
+    import jax.numpy as jnp
+
+    from audio_fir_filter_tpu.ops import fft_core as fc
+    from audio_fir_filter_tpu.ops import kernel_design as kd
+    from audio_fir_filter_tpu.ops import oracle
+    from audio_fir_filter_tpu.ops import overlap_save as osv
+    from audio_fir_filter_tpu.ops import pallas_fft as pf
+    from util import high_tol_lsb24
+
+    rng = np.random.default_rng(17)
+    taps = kd.highpass_taps(0.05, 128)           # 129 taps, m = 128
+    for precision in ("high", "fast"):
+        plan = osv.make_plan(taps, precision=precision, block_size=1024,
+                             engine="pallas")
+        b, hop, m = plan.block_size, plan.hop, plan.m
+        r, c = fc.fourstep_split(b)
+        assert hop % c == 0 and m % c == 0      # fused path qualifies
+        for n in (3 * hop + 37, hop - 5):       # multi-block + sub-block
+            x = rng.uniform(-1, 1, (2, n)).astype(np.float32)
+            y = np.asarray(osv.same_filter(jnp.asarray(x), plan))
+            want = np.stack([oracle.direct_filter(xi, taps) for xi in x])
+            tol = high_tol_lsb24() if precision == "high" else 600.0
+            assert oracle.max_lsb_error(y, want) <= tol, (precision, n)
+
+    # A kernel whose order does not divide the lane width must decline
+    # (the block-matrix path takes over): m = 130, c = 32.
+    got = pf.pallas_segment_filter(jnp.zeros((1, 4000), jnp.float32),
+                                   num_taps=131, b=1024, H2=None,
+                                   arith=fc.ARITH_DF64)
+    assert got is None
