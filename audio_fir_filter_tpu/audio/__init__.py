@@ -1,4 +1,5 @@
-from .chunks import Chunk, Container, parse_container, serialize_container
+from .chunks import (Chunk, Container, parse_container,
+                     serialize_container, write_container)
 from .format import AudioFormat, Encoding
 from .file import AudioData, read_audio, write_audio, normalize
 
@@ -7,6 +8,7 @@ __all__ = [
     "Container",
     "parse_container",
     "serialize_container",
+    "write_container",
     "AudioFormat",
     "Encoding",
     "AudioData",

@@ -108,16 +108,29 @@ def parse_container(raw: bytes) -> Container:
     return Container(kind=kind, form_type=form_type, chunks=chunks)
 
 
-def serialize_container(container: Container) -> bytes:
-    """Serialize back to bytes, preserving chunk order and pad bytes."""
+def write_container(f, container: Container) -> None:
+    """Stream-serialize to a binary file object, preserving chunk order and
+    pad bytes. No intermediate blob: the data chunk of a long recording is
+    hundreds of MB, and building a bytes image first costs two extra full
+    copies (measured dominating write_audio at 1-hour scale). ``c.data``
+    may be any buffer (bytes, memoryview, ndarray)."""
     endian = container.endian
-    body = bytearray()
-    for c in container.chunks:
-        body += c.ckid
-        body += struct.pack(endian + "I", len(c.data))
-        body += c.data
-        if len(c.data) & 1:
-            body += b"\x00"
     magic = _KIND_INFO[container.kind][0]
-    total = len(body) + 4  # form type counts toward the outer size
-    return magic + struct.pack(endian + "I", total) + container.form_type + bytes(body)
+    total = 4 + sum(8 + len(c.data) + (len(c.data) & 1)
+                    for c in container.chunks)
+    f.write(magic + struct.pack(endian + "I", total) + container.form_type)
+    for c in container.chunks:
+        f.write(c.ckid)
+        f.write(struct.pack(endian + "I", len(c.data)))
+        f.write(c.data)
+        if len(c.data) & 1:
+            f.write(b"\x00")
+
+
+def serialize_container(container: Container) -> bytes:
+    """Serialize back to bytes (in-memory form of :func:`write_container`)."""
+    import io
+
+    buf = io.BytesIO()
+    write_container(buf, container)
+    return buf.getvalue()

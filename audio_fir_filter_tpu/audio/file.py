@@ -21,7 +21,8 @@ from pathlib import Path
 import numpy as np
 
 from . import codec
-from .chunks import AIFF, WAVE, Chunk, Container, parse_container, serialize_container
+from .chunks import (AIFF, WAVE, Chunk, Container, parse_container,
+                     write_container)
 from .format import AudioFormat, format_from_container
 from ..utils.errors import AudioFormatError, FileNotFound
 
@@ -75,7 +76,8 @@ def _replace_sample_bytes(container: Container, payload: bytes) -> Container:
     if container.kind == AIFF:
         offset, _bs = struct.unpack(">II", old.data[:8])
         head = old.data[: 8 + offset]  # keep original offset/blockSize/lead-in
-        new_chunk = Chunk(ckid, head + payload)
+        # join() accepts any buffer (payload may be a zero-copy memoryview).
+        new_chunk = Chunk(ckid, b"".join((head, payload)))
     else:
         new_chunk = Chunk(ckid, payload)
     chunks = list(container.chunks)
@@ -126,14 +128,14 @@ def write_audio(path: str | os.PathLike, data: AudioData,
     container = _replace_sample_bytes(data.container, payload)
     if container.kind == AIFF:
         container = _update_aiff_num_frames(container, out_samples.shape[1])
-    blob = serialize_container(container)
 
     fd, tmp_name = tempfile.mkstemp(
         dir=str(p.parent) if str(p.parent) else ".", prefix=".lowcut_tmp_"
     )
     try:
         with os.fdopen(fd, "wb") as f:
-            f.write(blob)
+            # Streamed: no serialized blob (two full-payload copies saved).
+            write_container(f, container)
         os.replace(tmp_name, p)
     except BaseException:
         try:

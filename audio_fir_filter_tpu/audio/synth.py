@@ -13,7 +13,7 @@ from pathlib import Path
 import numpy as np
 
 from . import codec
-from .chunks import AIFF, WAVE, Chunk, Container, serialize_container
+from .chunks import AIFF, WAVE, Chunk, Container, write_container
 from .format import AudioFormat, Encoding, _encode_ext80
 from ..utils.errors import AudioFormatError
 
@@ -86,4 +86,5 @@ def create_audio_file(path, samples: np.ndarray, sample_rate: float,
         else:
             raise AudioFormatError(f"Cannot infer container kind from {ext!r}")
     container = build_container(samples, sample_rate, kind, encoding, extra_chunks)
-    p.write_bytes(serialize_container(container))
+    with open(p, "wb") as f:
+        write_container(f, container)

@@ -86,8 +86,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--block-size", type=int, default=0, metavar="B",
                    help="Overlap-save FFT size (power of two; 0 = auto).")
     p.add_argument("--engine",
-                   choices=["fourstep", "pallas", "pease", "stockham"],
-                   default="fourstep",
+                   choices=["auto", "pallas", "fourstep", "pease", "stockham"],
+                   default="auto",
                    help="FFT engine: 'fourstep' (2-D constant-geometry XLA, "
                         "fastest), 'pallas' (hand-written Mosaic kernels, "
                         "VMEM-resident phases), 'pease' (1-D constant-"

@@ -43,7 +43,7 @@ class FIRFilter:
 
     def plan(self, fs: float, precision: str = osv.HIGH,
              block_size: int = 0,
-             engine: str = "fourstep") -> osv.OverlapSavePlan:
+             engine: str = "auto") -> osv.OverlapSavePlan:
         key = (fs, precision, block_size, engine)
         cache = object.__getattribute__(self, "__dict__").setdefault("_plans", {})
         if key not in cache:

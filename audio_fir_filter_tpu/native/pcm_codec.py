@@ -104,7 +104,12 @@ class _NativeCodec:
             samples.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), frames,
             channels, bits, int(big_endian), int(threads),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
-        return out.tobytes()
+        # Zero-copy bytes-like (the payload of a 1-h recording is ~GB scale;
+        # tobytes() would be a full extra pass). Read-only view keeps the
+        # Chunk payload immutable like bytes.
+        mv = out.data
+        mv = mv.toreadonly() if hasattr(mv, "toreadonly") else mv
+        return mv
 
 
 def load() -> _NativeCodec | None:

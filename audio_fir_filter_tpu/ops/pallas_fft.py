@@ -93,9 +93,10 @@ def _tmap(f, *trees):
 # experiments/fused_ab.py):
 #   f32   -> all-roll (muls are cheap; strided lowering overhead loses:
 #            1.40 ms all-roll vs 1.94 ms mixed at B=2^18 chunk 16)
-#   df64r -> mixed at 16 (each complex mul is ~70 flops; halving the mul
-#            count wins: 2.84 ms mixed vs 3.95 ms all-roll)
-_ROLL_BELOW = {"f32": 1 << 30, "df64r": 16, "df64": 16}
+#   df64r -> mixed at 8 (each complex mul is ~70 flops; strided stages
+#            halve the mul count and lower fine down to d=8 — segment
+#            bench: 1908 Ms/s at 8 vs 1581 at 16 vs 1516 at 32)
+_ROLL_BELOW = {"f32": 1 << 30, "df64r": 8, "df64": 8}
 
 # Tuning overrides (read once at import; used by experiments/kernel_tune
 # sweeps — table caches key on plan shape, so these must not change after

@@ -50,12 +50,12 @@ def halo_cost_model(log, chip_rate: float = CHIP_RATE) -> list[dict]:
     workload for several shard counts and both link classes."""
     from ..ops import kernel_design as kd
 
-    taps = kd.kernel_length(SLOPE / FS)
-    mo2 = (taps - 1) // 2
+    m = kd.kernel_length(SLOPE / FS)   # kernel order M (taps = M + 1)
+    mo2 = m // 2
     n = int(3600 * FS)          # 1 h of frames, per channel
     halo_bytes = 2 * mo2 * 4.0  # both neighbors, float32
     rows = []
-    log("analytic halo-cost model (1 h 96 kHz stereo, M=%d):" % (taps - 1))
+    log("analytic halo-cost model (1 h 96 kHz stereo, M=%d):" % m)
     log("  shards  local-span  t_comp(ms)  t_ici(us)  eff_ici  t_dcn(us)  eff_dcn")
     for t in (2, 4, 8, 16, 64, 256):
         s_local = n // t
@@ -88,8 +88,9 @@ def run_scaling(log) -> None:
         env=env, capture_output=True, text=True,
         cwd=os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))))
+    noise = ("WARNING", "cpu_aot_loader", "Machine type", "E0")
     for line in proc.stderr.splitlines():
-        if not line.startswith("WARNING"):
+        if line.strip() and not any(t in line[:90] for t in noise):
             log("  " + line)
     if proc.returncode != 0:
         log(f"  child failed rc={proc.returncode}")

@@ -77,5 +77,5 @@ def options_fingerprint(opts) -> str:
     return json.dumps(
         [opts.filter_type, opts.freq, opts.freq_hi, opts.slope,
          opts.normalize, opts.precision, opts.block_size,
-         getattr(opts, "engine", "fourstep")]
+         getattr(opts, "engine", "auto")]
     )

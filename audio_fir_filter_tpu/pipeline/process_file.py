@@ -62,7 +62,7 @@ def process_file(input_path, output_path, opts: FilterOptions,
     t0 = time.perf_counter()
     model = make_model(opts.filter_type, opts.freq, opts.slope, opts.freq_hi)
     plan = model.plan(fs, precision=opts.precision, block_size=opts.block_size,
-                      engine=getattr(opts, "engine", "fourstep"))
+                      engine=getattr(opts, "engine", "auto"))
     t["design"] = time.perf_counter() - t0
 
     show_status("Filtering.")

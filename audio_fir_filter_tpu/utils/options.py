@@ -34,7 +34,7 @@ class FilterOptions:
     freq_hi: float | None = None  # band high edge, Hz (band filters only)
     precision: str = "high"   # "high": double-float FFT path (<=1 LSB @ 24-bit)
                               # "fast": plain float32 FFT path
-    engine: str = "fourstep"  # FFT engine: fourstep | pease | stockham
+    engine: str = "auto"  # FFT engine: auto | pallas | fourstep | pease | stockham
                               # "stockham": unrolled FFT (fastest steady-state)
     block_size: int = 0       # overlap-save FFT size; 0 -> auto from kernel length
     mesh_shape: tuple[int, ...] | None = None  # None -> all local devices on "time"

@@ -50,7 +50,7 @@ def log(*a):
 
 def measure_chip_rate(freq: float, slope: float, fs: float, channels: int,
                       precision: str, block_size: int, segment_blocks: int,
-                      reps: int, engine: str = "fourstep",
+                      reps: int, engine: str = "auto",
                       conv_chunk: int = 0) -> dict:
     """Device-resident throughput of one filter configuration."""
     import jax
@@ -260,6 +260,8 @@ def e2e_report(log, hours: float = 1.0, device_seconds: float = 30.0) -> None:
             f"({samples / t_enc / 1e6:7.1f} Ms/s)")
         del data
 
+        if device_seconds <= 0:
+            return
         # Short-slice on-hardware run for the true stage split.
         ns = int(device_seconds * fs)
         synth.create_audio_file(f"{tmp}/short.wav", xs[:, :ns], fs,
@@ -308,8 +310,8 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=12,
                     help="device-resident segment passes to time")
     ap.add_argument("--precision", choices=["high", "fast"], default="high")
-    ap.add_argument("--engine", default="fourstep",
-                    choices=["fourstep", "pallas", "pease", "stockham"])
+    ap.add_argument("--engine", default="auto",
+                    choices=["auto", "pallas", "fourstep", "pease", "stockham"])
     ap.add_argument("--freq", type=float, default=15.0)
     ap.add_argument("--slope", type=float, default=10.0)
     ap.add_argument("--sample-rate", type=float, default=96000.0)
