@@ -104,8 +104,93 @@ def measure_chip_rate(freq: float, slope: float, fs: float, channels: int,
             "realtime_x": chip_rate / (fs * channels)}
 
 
+def _pallas_roofline(plan, chip_rate: float) -> None:
+    """Plan-aware cost model of the fused Pallas engine (ops/pallas_fft.py).
+
+    The fused kernel is VPU-bound, not HBM-bound: the whole convolution of
+    a block runs VMEM-resident, so HBM sees ~B/hop f32 reads + 1 write per
+    output sample (plus constant tables once per segment). The model
+    therefore prices VPU work: weighted f32-op counts per point for the
+    kernel's actual stage plan (pallas_fft.phase_plan) under its in-kernel
+    arithmetic (relaxed presplit-table df64 for the high path; see
+    ops/df64.py flop notes: add_relaxed 8 f32 ops, presplit const complex
+    multiply ~70, vs strict 11/102).
+
+    Ceiling: v5e VPU = 8x128 lanes x 4 ALUs x ~0.94 GHz = 3.85 T f32-op/s
+    (Dekker/two_sum chains are dependent add/sub/mul sequences -- no FMA
+    pairing credit is assumed).
+    """
+    from audio_fir_filter_tpu.ops import fft_core as fc
+    from audio_fir_filter_tpu.ops import pallas_fft as pf
+
+    arith = fc.ARITH_F32 if plan.precision == "fast" else fc.ARITH_DF64
+    karith = pf._kernel_arith(arith)
+    an = karith.name
+    if an == "df64r":
+        CADD, CMUL = 16.0, 70.0     # relaxed cadd, presplit-const cmul
+        W8 = 2 * 17.0 + 16.0        # omega_8: two mul_dconst_relaxed + cadd
+        NEG_I, POW2, PACK = 4.0, 4.0, 12.0   # 4 f32 planes per complex
+        SEL = 4.0
+    else:                            # plain f32 complex
+        CADD, CMUL = 2.0, 6.0
+        W8 = 2 * 2.0 + 2.0
+        NEG_I, POW2, PACK = 2.0, 2.0, 2.0
+        SEL = 2.0
+
+    def phase_flops(n):
+        """Weighted f32 ops per complex point for one length-n transform
+        (forward; the inverse chain mirrors it 1:1)."""
+        f = 0.0
+        for kind, d in pf.phase_plan(n, an):
+            ntw = {"r2": 1, "r4": 3, "r8": 7}[kind] if d > 1 else 0
+            if pf._is_roll(kind, d, an):
+                # both butterfly halves computed, then selected; full-height
+                # twiddle on every row (d<=2 collapses to select/mul_neg_i);
+                # 2 sublane rolls move 4 planes each (VPU-executed).
+                f += 2 * CADD + SEL + 8.0
+                if d > 2:
+                    f += CMUL
+                elif d == 2:
+                    f += NEG_I + SEL
+            elif kind == "r2":
+                f += (2 * CADD + ntw * CMUL) / 2
+            elif kind == "r4":
+                f += (8 * CADD + ntw * CMUL) / 4
+            else:
+                f += (24 * CADD + 2 * W8 + ntw * CMUL) / 8
+        return f
+
+    b = plan.block_size
+    r, c = fc.fourstep_split(b)
+    per_cplx = (2 * (phase_flops(r) + phase_flops(c))  # fwd + inv chains
+                + 3 * CMUL                             # T, H, conj-T
+                + POW2 + PACK                          # 1/B + pack/unpack
+                + 16.0)                                # 2 transposes, 4+4 planes
+    # Two real samples per complex point; only hop of every B block rows
+    # is valid output, so each OUTPUT sample pays B/hop of the block work.
+    overlap = b / plan.hop
+    flops_per_sample = per_cplx / 2 * overlap
+    bytes_per_sample = 4.0 * overlap + 4.0   # f32 windowed read + valid write
+    VPU = 3.85e12
+    bound = VPU / flops_per_sample
+    gbs = chip_rate * bytes_per_sample / 1e9
+    log(f"roofline model (fused Pallas, arith={an}):")
+    log(f"  B={b} = {r}x{c}; plan {pf.phase_plan(r, an)}")
+    log(f"  model: {flops_per_sample:.0f} weighted f32-op/sample, "
+        f"{bytes_per_sample:.1f} HBM B/sample")
+    log(f"  achieved at {chip_rate/1e6:.1f} Msamples/s: "
+        f"{chip_rate*flops_per_sample/1e12:.2f} T f32-op/s of the "
+        f"{VPU/1e12:.2f} T/s VPU ceiling ({chip_rate/bound*100:.0f}% of the "
+        f"{bound/1e6:.0f} Ms/s arithmetic bound); HBM {gbs:.1f} GB/s "
+        f"({gbs/819*100:.1f}% of 819 GB/s -- not the binding resource)")
+
+
 def roofline_report(plan, chip_rate: float) -> None:
-    """Analytic cost model of the df64 four-step engine vs what was measured.
+    """Analytic cost model of the production engine vs what was measured.
+
+    Dispatches on the plan's engine: the fused Pallas kernel gets the
+    VPU-bound model (:func:`_pallas_roofline`); the XLA fourstep engine
+    the HBM-pass model below.
 
     Flop weights (f32 ops) for strict double-float arithmetic
     (ops/df64.py): add/sub = 11, mul = 20 -> complex add = 22,
@@ -115,6 +200,8 @@ def roofline_report(plan, chip_rate: float) -> None:
     twiddle/multiply/transpose materializes the [.., B] complex df64
     working set (16 B/point) once read + once written.
     """
+    if plan.engine == "pallas":
+        return _pallas_roofline(plan, chip_rate)
     from audio_fir_filter_tpu.ops import fft_core as fc
 
     b = plan.block_size
