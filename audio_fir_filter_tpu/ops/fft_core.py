@@ -606,15 +606,18 @@ def dif_plan_r8(n: int):
 
 
 @functools.lru_cache(maxsize=64)
-def dif_plan_roll(n: int, roll_below: int = 16):
+def dif_plan_roll(n: int, roll_below: int = 16, base: str = "r4"):
     """Stage plan whose fine tail (block length < roll_below) is all
     radix-2 — mathematically ordinary ("r2", d) stages, but shaped so a
     Pallas kernel can lower them as sublane-roll butterflies instead of
     sub-tile strided row slices (which Mosaic executes slowly). Host
     mirrors (dif_fft_np / dif_sigma / dif_tables_np) accept this plan
-    unchanged."""
+    unchanged. ``base``: coarse-stage plan family — "r4" (:func:`dif_plan`)
+    or "r8" (:func:`dif_plan_r8`; fewer stages and ~10% fewer df64 flops —
+    a loser under XLA's fusion scheduler but a candidate inside the
+    VMEM-resident Pallas kernel, where per-stage cost is pure VPU work)."""
     stages = []
-    for kind, d in dif_plan(n):
+    for kind, d in (dif_plan(n) if base == "r4" else dif_plan_r8(n)):
         radix = {"r2": 2, "r4": 4, "r8": 8}[kind]
         if d >= roll_below:
             stages.append((kind, d))

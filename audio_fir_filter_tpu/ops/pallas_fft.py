@@ -107,6 +107,9 @@ if os.environ.get("LOWCUT_ROLL_BELOW_DF64"):
 if os.environ.get("LOWCUT_ROLL_BELOW_F32"):
     _ROLL_BELOW["f32"] = int(os.environ["LOWCUT_ROLL_BELOW_F32"])
 
+# Coarse-stage plan family ("r4" | "r8") — tuning knob, same caveats.
+_BASE_PLAN = os.environ.get("LOWCUT_KERNEL_BASE_PLAN", "r4")
+
 
 def _kernel_arith(arith):
     """The in-kernel arithmetic for a caller-facing arith: the relaxed
@@ -117,7 +120,7 @@ def _kernel_arith(arith):
 def phase_plan(n: int, arith_name: str):
     """The kernel's stage plan for a length-n row transform: the standard
     r2/r4 plan with the fine tail decomposed to radix-2 roll stages."""
-    return fc.dif_plan_roll(n, min(_ROLL_BELOW[arith_name], n))
+    return fc.dif_plan_roll(n, min(_ROLL_BELOW[arith_name], n), _BASE_PLAN)
 
 
 def _is_roll(kind: str, d: int, arith_name: str) -> bool:
