@@ -90,6 +90,23 @@ def test_sharded_normalize_fused():
     assert np.allclose(scales, scales.flat[0], rtol=1e-4)
 
 
+def test_sharded_auto_normalize_on_clip():
+    """Reference clip rule (ProcessFile.cp:98-101): even without -n, output
+    is scaled by one common 1/peak factor when the filtered peak clips.
+    This is the case the round-2 dryrun artifact mis-asserted (it compared
+    the auto-scaled output against the raw oracle)."""
+    x, ws, plan = make_case(n=8000, seed=3)
+    x = (x * 4.0).astype(np.float32)  # drive filtered peak over 1.0
+    mesh = make_mesh((2, 4))
+    y, peak = sharded_filter(x, plan, mesh, normalize=False)
+    ref = np.asarray(osv.same_filter(x, plan))
+    ref_peak = float(np.max(np.abs(ref)))
+    assert ref_peak > 1.0  # the case actually exercises the clip rule
+    assert np.isclose(float(peak), ref_peak, rtol=1e-5)
+    assert oracle.max_lsb_error(np.asarray(y), ref / ref_peak,
+                                bits=24) <= 4 * high_tol_lsb24()
+
+
 def test_sharded_indivisible_raises():
     x, ws, plan = make_case(n=8001)
     mesh = make_mesh((1, 8))
