@@ -449,11 +449,17 @@ def pallas_segment_filter(x: jnp.ndarray, num_taps: int, b: int, H2,
     hop — starts on an 8-row (sublane-tile) boundary of the
     [C, rows, c] signal view; Mosaic requires provably tile-aligned DMA
     offsets.
-    Block j of channel ch DMAs window xp[ch, j*hop : j*hop + B] straight
-    from HBM and writes ONLY its valid rows (block positions
-    [M, M + hop)): HBM sees ~1.1x one signal read + exactly one valid
-    write — the separate gather (block-matrix materialization) and unfold
-    (valid-slice reassembly) passes of the generic path disappear.
+    Grid step (ch, k) covers real blocks 2k and 2k+1 of channel ch: ONE
+    merged DMA fetches rows [2k*hr, 2k*hr + r + hr) of the [C, rows, c]
+    view (the union of both overlapping windows — the hop-offset second
+    window is rows [hr, hr + r) of the buffer), DOUBLE-BUFFERED across
+    grid steps: step s issues step s+1's fetch before waiting on its
+    own, so the HBM latency rides under the FFT arithmetic instead of
+    serializing with it (A/B'd on v5e, round 3). The kernel writes ONLY
+    its valid rows (block positions [M, M + hop)): HBM sees ~1.0x one
+    signal read + exactly one valid write — the separate gather
+    (block-matrix materialization) and unfold (valid-slice reassembly)
+    passes of the generic path disappear.
 
     Returns y [C, N] ('same' semantics, zero-padded edges), or None when
     the shape does not qualify (caller falls back to the generic path).
@@ -480,20 +486,43 @@ def pallas_segment_filter(x: jnp.ndarray, num_taps: int, b: int, H2,
     tabs = conv_tables(b, karith.name)
     cc = dict(tabs, H=H2)
 
-    def prologue(x_ref, x0s, x1s, sems):
-        ch = pl.program_id(0)
-        kk = pl.program_id(1)
-        row0 = pl.multiple_of(2 * kk * hr, 8)
-        row1 = pl.multiple_of(2 * kk * hr + hr, 8)
-        dma0 = pltpu.make_async_copy(
-            x_ref.at[ch, pl.ds(row0, r), :], x0s, sems.at[0])
-        dma1 = pltpu.make_async_copy(
-            x_ref.at[ch, pl.ds(row1, r), :], x1s, sems.at[1])
-        dma0.start()
-        dma1.start()
-        dma0.wait()
-        dma1.wait()
-        return (x0s, x1s)
+    nk = nb // 2
+    total = ch_n * nk
+    win = r + hr  # merged-window rows: both blocks of the complex pair
+
+    def prologue(x_ref, xs, sems):
+        s = pl.program_id(0) * nk + pl.program_id(1)
+
+        def issue(step, slot):
+            ch2 = step // nk
+            row = pl.multiple_of((step % nk) * (2 * hr), 8)
+            pltpu.make_async_copy(
+                x_ref.at[ch2, pl.ds(row, win), :],
+                xs.at[slot], sems.at[slot]).start()
+
+        @pl.when(s == 0)
+        def _():
+            issue(s, 0)
+
+        nxt = s + 1
+
+        @pl.when(jnp.logical_and(nxt < total, nxt % 2 == 0))
+        def _():
+            issue(nxt, 0)
+
+        @pl.when(jnp.logical_and(nxt < total, nxt % 2 == 1))
+        def _():
+            issue(nxt, 1)
+
+        # Wait on THIS step's buffer (size-matched descriptor, same sem).
+        for slot in (0, 1):
+            @pl.when(s % 2 == slot)
+            def _(slot=slot):
+                pltpu.make_async_copy(
+                    x_ref.at[0, pl.ds(0, win), :],
+                    xs.at[slot], sems.at[slot]).wait()
+
+        return (xs, s % 2)
 
     # Output is 4-D [C, nb/2, 2*hr, c] so the block's trailing two dims
     # equal the full array dims (2*hr need not be sublane-aligned then);
@@ -508,15 +537,15 @@ def pallas_segment_filter(x: jnp.ndarray, num_taps: int, b: int, H2,
                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ch_n, nb // 2, 2 * hr, c),
                                        jnp.float32),
-        read_x=lambda xs, sl: (xs[0][:, sl], xs[1][:, sl]),
+        read_x=lambda src, sl: (src[0][src[1], pl.ds(0, r), sl],
+                                src[0][src[1], pl.ds(hr, r), sl]),
         write_out=lambda o_ref, sl, re, im: (
             o_ref.__setitem__((0, 0, slice(0, hr), sl),
                               re[mr:mr + hr, :]),
             o_ref.__setitem__((0, 0, slice(hr, 2 * hr), sl),
                               im[mr:mr + hr, :])),
         extra_scratch=(
-            pltpu.VMEM((r, c), jnp.float32),
-            pltpu.VMEM((r, c), jnp.float32),
+            pltpu.VMEM((2, win, c), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ),
         prologue=prologue,

@@ -152,8 +152,10 @@ def test_pallas_segment_path_matches_oracle_and_falls_back():
         b, hop, m = plan.block_size, plan.hop, plan.m
         r, c = fc.fourstep_split(b)
         assert hop % c == 0 and m % c == 0      # fused path qualifies
-        for n in (3 * hop + 37, hop - 5):       # multi-block + sub-block
-            x = rng.uniform(-1, 1, (2, n)).astype(np.float32)
+        # multi-block, sub-block, and 3-channel (odd grid total: the
+        # double-buffered prefetch crosses channel boundaries)
+        for chn, n in ((2, 3 * hop + 37), (2, hop - 5), (3, hop + 37)):
+            x = rng.uniform(-1, 1, (chn, n)).astype(np.float32)
             y = np.asarray(osv.same_filter(jnp.asarray(x), plan))
             want = np.stack([oracle.direct_filter(xi, taps) for xi in x])
             tol = high_tol_lsb24() if precision == "high" else 600.0
