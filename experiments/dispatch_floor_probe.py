@@ -12,8 +12,15 @@ timing non-pallas jit baselines:
   jit_tiny      y = x[:8] + 1 on a tiny array           [floor (a)]
   pallas_g{N}   passthru pallas, grid=N (same 2 MB/block)
                 — per-step overhead shows as slope in N
-  pallas_noin   grid=8, output written from iota, input ANY (unused)
-                — drops the input stream, halves HBM traffic
+
+MEASURED (v5e, round 3): jit_tiny 1.403 ms, jit_add(16 MB) 1.335 ms,
+pallas_g2 1.411 / g8 2.143 / g32 1.490 ms. Verdict: ~1.4 ms PER-CALL
+dispatch floor through the dev tunnel (data- and kernel-independent;
+variance 1.3-2.9 ms explains all copy_floor_probe spread); device-side
+streaming runs near HBM speed (g32 moves 128 MB in <= 0.15 ms of
+device time). Consequence: kernel marginals must be measured at large
+grids in ONE dispatch, and production segments should amortize the
+floor (63-hop segment = ~10%).
 """
 
 import sys
@@ -50,23 +57,18 @@ def timeit(fn, *args, reps=20):
     return (time.perf_counter() - t0) / reps
 
 
-def make_passthru(r, c, grid, drop_input=False):
+def make_passthru(r, c, grid):
     def kernel(x_ref, o_ref):
-        if drop_input:
-            o_ref[0, 0] = jnp.zeros((r, c), jnp.float32)
-            o_ref[0, 1] = jnp.zeros((r, c), jnp.float32)
-        else:
-            o_ref[0, 0] = x_ref[0, 0]
-            o_ref[0, 1] = x_ref[0, 1]
+        o_ref[0, 0] = x_ref[0, 0]
+        o_ref[0, 1] = x_ref[0, 1]
 
     @jax.jit
     def run(x):
         return pl.pallas_call(
             kernel,
             grid=(grid,),
-            in_specs=[pl.BlockSpec(
-                (1, 2, r, c), lambda i: (i, 0, 0, 0),
-                memory_space=pltpu.ANY if drop_input else pltpu.VMEM)],
+            in_specs=[pl.BlockSpec((1, 2, r, c), lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((1, 2, r, c), lambda i: (i, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
@@ -102,10 +104,6 @@ def main():
         nsamp = grid * 2 * b
         log(f"pallas_g{grid:<3d}: {t*1e3:8.3f} ms  "
             f"({nsamp/t/1e6:8.1f} Ms/s, {nsamp*4*2/t/1e9:6.1f} GB/s r+w)")
-
-    run = make_passthru(r, c, 8, drop_input=True)
-    t = timeit(run, xs[8])
-    log(f"pallas_noin : {t*1e3:8.3f} ms")
 
 
 if __name__ == "__main__":
