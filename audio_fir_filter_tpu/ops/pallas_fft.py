@@ -108,7 +108,11 @@ if os.environ.get("LOWCUT_ROLL_BELOW_F32"):
     _ROLL_BELOW["f32"] = int(os.environ["LOWCUT_ROLL_BELOW_F32"])
 
 # Coarse-stage plan family ("r4" | "r8") — tuning knob, same caveats.
-_BASE_PLAN = os.environ.get("LOWCUT_KERNEL_BASE_PLAN", "r4")
+# r8 measured 2223 vs 2088 Ms/s (r4) on the production segment bench
+# (v5e, B=2^18 df64, 252-hop segments, round 3): radix-8 strided stages
+# do 7 twiddle muls per 8 points where an r4+r2 pair does 4 per 8 twice,
+# and CMUL dominates the df64r budget. f32 is unaffected (all-roll plan).
+_BASE_PLAN = os.environ.get("LOWCUT_KERNEL_BASE_PLAN", "r8")
 
 
 def _kernel_arith(arith):

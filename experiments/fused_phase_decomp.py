@@ -18,7 +18,6 @@ Everything stays on device (sin(iota) blocks); only 8-sample fences
 cross the tunnel. Times are per chunk of 16 real blocks at B=2^18.
 """
 
-import functools
 import sys
 import time
 
@@ -171,7 +170,9 @@ def make_variant(b, arith, *, do_a, do_tr, do_b, do_c):
 
 def main():
     b = 1 << 18
-    chunk = 16
+    chunk = 128  # large grid: ~25 ms device time swamps the ~1.4-2.9 ms
+                 # per-call tunnel floor (dispatch_floor_probe) that made
+                 # the chunk-16 numbers unusable for phase attribution
     r, c = fc.fourstep_split(b)
     x = jax.jit(lambda: 0.3 * jnp.sin(
         0.37 * jnp.arange((chunk // 2) * 2 * b, dtype=jnp.float32)
