@@ -46,6 +46,23 @@ class Chunk:
 
 
 @dataclasses.dataclass
+class StreamedChunk:
+    """A chunk whose payload is produced by ``writer(f)`` at serialization
+    time; ``size`` must be known upfront (it goes in the chunk header before
+    the payload exists). Used to stream GB-scale sample payloads to disk
+    overlapped with their encoding instead of materializing them
+    (:func:`..file.write_audio`)."""
+
+    ckid: bytes
+    size: int
+    writer: object  # Callable[[BinaryIO], None]
+
+    def __post_init__(self):
+        if len(self.ckid) != 4:
+            raise AudioFormatError(f"Chunk id must be 4 bytes, got {self.ckid!r}")
+
+
+@dataclasses.dataclass
 class Container:
     """Parsed container: kind ('wave' | 'aiff'), form type, ordered chunks."""
 
@@ -113,18 +130,66 @@ def write_container(f, container: Container) -> None:
     pad bytes. No intermediate blob: the data chunk of a long recording is
     hundreds of MB, and building a bytes image first costs two extra full
     copies (measured dominating write_audio at 1-hour scale). ``c.data``
-    may be any buffer (bytes, memoryview, ndarray)."""
+    may be any buffer (bytes, memoryview, ndarray); a :class:`StreamedChunk`
+    writes its payload through ``writer(f)`` in place."""
     endian = container.endian
     magic = _KIND_INFO[container.kind][0]
-    total = 4 + sum(8 + len(c.data) + (len(c.data) & 1)
-                    for c in container.chunks)
+    total = 4 + sum(8 + c.size + (c.size & 1) for c in container.chunks)
     f.write(magic + struct.pack(endian + "I", total) + container.form_type)
     for c in container.chunks:
         f.write(c.ckid)
-        f.write(struct.pack(endian + "I", len(c.data)))
-        f.write(c.data)
-        if len(c.data) & 1:
+        f.write(struct.pack(endian + "I", c.size))
+        if isinstance(c, StreamedChunk):
+            c.writer(f)
+        else:
+            f.write(c.data)
+        if c.size & 1:
             f.write(b"\x00")
+
+
+def scan_container(f) -> tuple[str, bytes, list[tuple[bytes, int, int]]]:
+    """Chunk table of an open seekable binary file WITHOUT reading payloads.
+
+    Returns ``(kind, form_type, entries)`` with ``entries`` =
+    ``[(ckid, payload_offset, size), ...]`` in file order. Sizes follow the
+    same tolerance rules as :func:`parse_container`: the outer RIFF/FORM size
+    is ignored (chunks walked to EOF) and a final chunk whose declared size
+    runs past EOF is clamped. The seek-based walk lets GB-scale sample
+    payloads be streamed/decoded incrementally instead of read whole
+    (:func:`..file.read_audio`)."""
+    f.seek(0, 2)
+    end = f.tell()
+    f.seek(0)
+    header = f.read(12)
+    if len(header) < 12:
+        raise AudioFormatError("File too small to be a WAVE or AIFF file")
+    magic = header[0:4]
+    if magic == b"RIFF":
+        kind = WAVE
+    elif magic == b"FORM":
+        kind = AIFF
+    else:
+        raise AudioFormatError(
+            f"Not a WAVE or AIFF file (container magic {magic!r})"
+        )
+    _, form_types, endian = _KIND_INFO[kind]
+    form_type = header[8:12]
+    if form_type not in form_types:
+        raise AudioFormatError(
+            f"Unsupported form type {form_type!r} for {kind.upper()} container"
+        )
+    entries: list[tuple[bytes, int, int]] = []
+    pos = 12
+    while pos + 8 <= end:
+        f.seek(pos)
+        head = f.read(8)
+        ckid = head[0:4]
+        (size,) = struct.unpack(endian + "I", head[4:8])
+        payload_start = pos + 8
+        size = min(size, end - payload_start)  # truncated-final-chunk clamp
+        entries.append((ckid, payload_start, size))
+        pos = payload_start + size + (size & 1)
+    return kind, form_type, entries
 
 
 def serialize_container(container: Container) -> bytes:
