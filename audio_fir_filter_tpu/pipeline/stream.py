@@ -20,14 +20,17 @@ import numpy as np
 from ..ops import overlap_save as osv
 
 
-def default_segment_len(plan: osv.OverlapSavePlan, target: int = 1 << 24) -> int:
+def default_segment_len(plan: osv.OverlapSavePlan, target: int = 1 << 26) -> int:
     """Segment body length: a multiple of the hop near ``target`` samples,
     aligned so the extended segment blocks into an exact multiple of the
     plan's conv_chunk (no leftover-tail conv graph: a k-hop body plus
     halos yields round_even(k+1) overlap-save blocks)."""
-    # Target measured on the axon TPU: fixed ~30 ms dispatch overhead per
-    # device call vs ~1 ns/sample marginal cost — large segments amortize
-    # the fixed cost (16M samples/call -> overhead < 20% of runtime).
+    # Target measured on the axon TPU (round-3 segment sweep, bench.py):
+    # each device call pays a fixed dispatch floor, so bigger segments are
+    # faster until ~10^8 samples/call (63-hop segments 2160 Ms/s, 252 ->
+    # 2343, 504 -> 2412, 1008 -> 2445, flat beyond). 1<<26 frames/channel
+    # keeps the host slab ~0.5 GB/channel-pair while staying within ~2%
+    # of the large-segment plateau.
     k = max(1, target // plan.hop)
     ch = plan.conv_chunk
     nb = (k + 2) & ~1  # round_even(k + 1)

@@ -420,7 +420,7 @@ BASELINE_CONFIGS = [
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--reps", type=int, default=12,
+    ap.add_argument("--reps", type=int, default=6,
                     help="device-resident segment passes to time")
     ap.add_argument("--precision", choices=["high", "fast"], default="high")
     ap.add_argument("--engine", default="auto",
@@ -432,10 +432,13 @@ def main() -> int:
     ap.add_argument("--block-size", type=int, default=0)
     ap.add_argument("--conv-chunk", type=int, default=0,
                     help="blocks per in-jit conv step (0 = engine default)")
-    ap.add_argument("--segment-blocks", type=int, default=63,
-                    help="hops per timed segment (default 63: the extended "
-                         "segment then blocks into exactly 64 = 4*conv_chunk "
-                         "overlap-save blocks, no leftover-tail conv)")
+    ap.add_argument("--segment-blocks", type=int, default=1008,
+                    help="hops per timed segment (default 1008 = ~3.9 min "
+                         "of stereo 96 kHz per call: the ~1.4 ms per-call "
+                         "dispatch floor of this dev tunnel drops below "
+                         "0.5%% of call time; measured r3 sweep: 63 hops "
+                         "2160, 252 -> 2343, 504 -> 2412, 1008 -> 2445 "
+                         "Ms/s, flat beyond)")
     ap.add_argument("--all", action="store_true",
                     help="also run the BASELINE.json config kernels (stderr)")
     ap.add_argument("--roofline", action="store_true",
