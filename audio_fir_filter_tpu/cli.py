@@ -79,10 +79,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-F", "--frequency-high", type=float, default=None,
                    metavar="Hz",
                    help="Band high edge in Hz (bandpass/bandreject only).")
-    p.add_argument("--precision", choices=["high", "fast"], default="high",
+    p.add_argument("--precision", choices=["auto", "high", "fast"],
+                   default="auto",
                    help="Convolution precision: 'high' = double-float FFT "
                         "(matches float64 reference within 1 LSB @ 24-bit), "
-                        "'fast' = float32 FFT. (default: high)")
+                        "'fast' = float32 FFT (within 1 LSB @ 16-bit), "
+                        "'auto' = 'fast' for <= 16-bit PCM outputs, 'high' "
+                        "otherwise. (default: auto)")
     p.add_argument("--block-size", type=int, default=0, metavar="B",
                    help="Overlap-save FFT size (power of two; 0 = auto).")
     p.add_argument("--engine",

@@ -45,7 +45,7 @@ import numpy as np
 from .. import audio
 from ..models import make_model
 from ..utils.errors import FileExists
-from ..utils.options import FilterOptions
+from ..utils.options import FilterOptions, resolve_precision
 from ..utils.progress import ProgressBar
 from .stream import filter_array_streamed
 
@@ -152,7 +152,8 @@ def run_batch(inputs, dest_dir, opts: FilterOptions, *,
             fs = data.fmt.sample_rate
             show_status("Creating sinc kernel for this file's sample rate.")
             t0 = time.perf_counter()
-            plan = model.plan(fs, precision=opts.precision,
+            precision = resolve_precision(opts.precision, data.fmt.encoding)
+            plan = model.plan(fs, precision=precision,
                               block_size=opts.block_size, engine=opts.engine)
             metrics["design"] = time.perf_counter() - t0
 

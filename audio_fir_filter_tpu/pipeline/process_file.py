@@ -35,7 +35,7 @@ import numpy as np
 
 from .. import audio
 from ..models import make_model
-from ..utils.options import FilterOptions
+from ..utils.options import FilterOptions, resolve_precision
 from ..utils.progress import ProgressBar
 from .stream import filter_array_streamed
 
@@ -61,7 +61,13 @@ def process_file(input_path, output_path, opts: FilterOptions,
     show_status("Creating sinc kernel for this file's sample rate.")
     t0 = time.perf_counter()
     model = make_model(opts.filter_type, opts.freq, opts.slope, opts.freq_hi)
-    plan = model.plan(fs, precision=opts.precision, block_size=opts.block_size,
+    # "auto" picks the f32 engine when the OUTPUT depth can't resolve the
+    # difference (<= 16-bit PCM; see utils.options.resolve_precision).
+    precision = resolve_precision(opts.precision, data.fmt.encoding)
+    if precision != opts.precision:
+        show_status(f"Precision 'auto' -> '{precision}' for "
+                    f"{data.fmt.encoding.bits}-bit output.")
+    plan = model.plan(fs, precision=precision, block_size=opts.block_size,
                       engine=getattr(opts, "engine", "auto"))
     t["design"] = time.perf_counter() - t0
 
@@ -111,4 +117,5 @@ def process_file(input_path, output_path, opts: FilterOptions,
     t["channels"] = data.num_channels
     t["sample_rate"] = fs
     t["peak"] = max_mag
+    t["precision"] = precision
     return t

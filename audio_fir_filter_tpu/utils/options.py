@@ -32,8 +32,9 @@ class FilterOptions:
     # TPU-native extensions.
     filter_type: str = "lowcut"  # lowcut|highpass|lowpass|bandpass|bandreject
     freq_hi: float | None = None  # band high edge, Hz (band filters only)
-    precision: str = "high"   # "high": double-float FFT path (<=1 LSB @ 24-bit)
+    precision: str = "auto"   # "high": double-float FFT path (<=1 LSB @ 24-bit)
                               # "fast": plain float32 FFT path
+                              # "auto": by output bit depth (resolve_precision)
     engine: str = "auto"  # FFT engine: auto | pallas | fourstep | pease | stockham
                               # "stockham": unrolled FFT (fastest steady-state)
     block_size: int = 0       # overlap-save FFT size; 0 -> auto from kernel length
@@ -42,3 +43,26 @@ class FilterOptions:
 
     def resolved_num_threads(self) -> int:
         return self.num_threads if self.num_threads > 0 else default_num_workers()
+
+
+# Output encodings whose quantization step is coarse enough that the plain
+# float32 FFT path already lands within 1 LSB of the float64 oracle at THAT
+# depth (measured on v5e, bench_artifacts/fidelity: f32 path max err
+# 0.025 LSB @ 16-bit vs 6.5 LSB @ 24-bit at the production kernel size).
+_FAST_SAFE_ENCODINGS = frozenset({"pcm_u8", "pcm_s8", "pcm_16"})
+
+
+def resolve_precision(precision: str, encoding) -> str:
+    """Resolve the "auto" precision policy against the OUTPUT encoding.
+
+    The fidelity contract is "within 1 LSB of the float64 reference at the
+    output bit depth" (BASELINE.md; reference precision ladder at
+    /root/reference/FilterCore.h:21-23). For <= 16-bit integer outputs the
+    float32 engine meets that with two orders of magnitude to spare, so
+    "auto" picks it (~1.8x the double-float throughput); 24-bit and wider
+    outputs keep the double-float path. Explicit "high"/"fast" always win.
+    """
+    if precision != "auto":
+        return precision
+    value = getattr(encoding, "value", encoding)
+    return "fast" if value in _FAST_SAFE_ENCODINGS else "high"

@@ -127,3 +127,50 @@ def test_explicit_normalize(tmp_path):
     process_file(p, out, FilterOptions(normalize=True, **OPTS), show_progress=False)
     result = audio.read_audio(out)
     assert np.isclose(np.max(np.abs(result.samples)), 1.0, atol=2 ** -20)
+
+
+# ---------------------------------------------------- auto precision policy
+
+def test_resolve_precision_policy():
+    """"auto" resolves by OUTPUT encoding: f32 engine only where its error
+    is below 1 LSB at that depth (<= 16-bit PCM); explicit values win."""
+    from audio_fir_filter_tpu.utils.options import resolve_precision
+
+    assert resolve_precision("auto", Encoding.PCM_16) == "fast"
+    assert resolve_precision("auto", Encoding.PCM_U8) == "fast"
+    assert resolve_precision("auto", Encoding.PCM_S8) == "fast"
+    assert resolve_precision("auto", Encoding.PCM_24) == "high"
+    assert resolve_precision("auto", Encoding.PCM_32) == "high"
+    assert resolve_precision("auto", Encoding.FLOAT_32) == "high"
+    assert resolve_precision("high", Encoding.PCM_16) == "high"
+    assert resolve_precision("fast", Encoding.PCM_24) == "fast"
+
+
+def _auto_opts():
+    o = dict(OPTS)
+    o["precision"] = "auto"
+    return o
+
+
+def test_auto_precision_16bit_uses_fast_and_meets_gate(tmp_path):
+    """A 16-bit file under "auto" runs the f32 engine and still lands
+    within ~1 LSB @ 16-bit of the float64 oracle (+0.5 LSB output
+    quantization)."""
+    p, _ = make_input(tmp_path, encoding=Encoding.PCM_16)
+    out = tmp_path / "out16.wav"
+    m = process_file(p, out, FilterOptions(**_auto_opts()), show_progress=False)
+    assert m["precision"] == "fast"
+
+    result = audio.read_audio(out)
+    data_in = audio.read_audio(p)
+    taps = kd.highpass_taps(100.0 / FS, kd.kernel_length(200.0 / FS))
+    for c in range(2):
+        ref = oracle.direct_filter(data_in.samples[c], taps)
+        assert oracle.max_lsb_error(result.samples[c], ref, bits=16) <= 1.5
+
+
+def test_auto_precision_24bit_uses_high(tmp_path):
+    p, _ = make_input(tmp_path, encoding=Encoding.PCM_24)
+    out = tmp_path / "out24.wav"
+    m = process_file(p, out, FilterOptions(**_auto_opts()), show_progress=False)
+    assert m["precision"] == "high"
