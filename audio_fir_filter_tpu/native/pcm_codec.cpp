@@ -152,6 +152,16 @@ inline int32_t load_pcm(const uint8_t* p, int bps, bool be) {
     return (v ^ 0x800000) - 0x800000;  // sign-extend bit 23
 }
 
+// 24-bit LE fast path: one unaligned 32-bit load, then shift-pair to drop
+// the stray high byte and sign-extend bit 23 (x86/ARM allow unaligned
+// loads; callers guarantee p+3 is readable). ~3x fewer ops than the
+// byte-or form.
+inline int32_t load_pcm24le_u32(const uint8_t* p) {
+    uint32_t u;
+    __builtin_memcpy(&u, p, 4);
+    return static_cast<int32_t>(u << 8) >> 8;
+}
+
 inline void store_pcm(uint8_t* p, int32_t v, int bps, bool be) {
     if (bps == 2) {
         if (be) {
@@ -183,12 +193,24 @@ void decode_pcm_planar(const uint8_t* in, int64_t frames, int channels,
     const int bps = bits / 8;
     const float scale = bits == 16 ? (1.0f / 32768.0f) : (1.0f / 8388608.0f);
     const bool be = big_endian != 0;
+    // The 24-bit LE u32-load trick reads one byte past sample i's 3 bytes;
+    // that byte exists for every sample except the very last one of the
+    // buffer, which the slow path handles.
+    const bool fast24 = (bps == 3) && !be;
     parallel_frames(frames, threads, [=](int64_t lo, int64_t hi) {
         for (int c = 0; c < channels; ++c) {
             const uint8_t* src = in + (lo * channels + c) * bps;
             float* dst = out + c * frames + lo;
             const int64_t stride = static_cast<int64_t>(channels) * bps;
-            for (int64_t i = lo; i < hi; ++i) {
+            int64_t i = lo, safe = hi;
+            if (fast24) {
+                if (hi == frames && c == channels - 1) safe = hi - 1;
+                for (; i < safe; ++i) {
+                    *dst++ = static_cast<float>(load_pcm24le_u32(src)) * scale;
+                    src += stride;
+                }
+            }
+            for (; i < hi; ++i) {
                 *dst++ = static_cast<float>(load_pcm(src, bps, be)) * scale;
                 src += stride;
             }
@@ -204,21 +226,39 @@ void decode_pcm_planar(const uint8_t* in, int64_t frames, int channels,
 void encode_pcm_planar(const float* in, int64_t frames, int channels,
                        int bits, int big_endian, int threads, uint8_t* out) {
     const int bps = bits / 8;
-    const double full = bits == 16 ? 32768.0 : 8388608.0;
-    const double flo = -full, fhi = full - 1;
-    const double g = full;
+    // Quantization math runs in FLOAT, bit-identical to the double (and
+    // NumPy) form: the scale 2^(bits-1) is a power of two, so x * g never
+    // rounds (pure exponent shift), and nearbyintf applies the same
+    // round-half-even to the same exact value as std::nearbyint does.
+    // Values beyond the clip bounds compare identically in either width.
+    // Float math keeps the quantize chain vectorizable (vroundps).
+    const float g = bits == 16 ? 32768.0f : 8388608.0f;
+    const float flo = -g, fhi = g - 1.0f;
     const bool be = big_endian != 0;
     parallel_frames(frames, threads, [=](int64_t lo, int64_t hi) {
+        // Two-phase blocks: (1) quantize a run of frames to int32 — a
+        // pure mul/round/min/max/cvt chain the compiler vectorizes —
+        // then (2) pack bytes into the channel-strided layout. The
+        // int32 staging block stays L1-resident.
+        constexpr int64_t BLK = 2048;
+        int32_t q[BLK];
         for (int c = 0; c < channels; ++c) {
             const float* src = in + c * frames + lo;
             uint8_t* dst = out + (lo * channels + c) * bps;
             const int64_t stride = static_cast<int64_t>(channels) * bps;
-            for (int64_t i = lo; i < hi; ++i) {
-                double v = std::nearbyint(static_cast<double>(*src++) * g);
-                if (v < flo) v = flo;
-                if (v > fhi) v = fhi;
-                store_pcm(dst, static_cast<int32_t>(v), bps, be);
-                dst += stride;
+            for (int64_t base = lo; base < hi; base += BLK) {
+                const int64_t n = std::min(BLK, hi - base);
+                for (int64_t i = 0; i < n; ++i) {
+                    float v = nearbyintf(src[i] * g);
+                    v = v < flo ? flo : v;
+                    v = v > fhi ? fhi : v;
+                    q[i] = static_cast<int32_t>(v);
+                }
+                src += n;
+                for (int64_t i = 0; i < n; ++i) {
+                    store_pcm(dst, q[i], bps, be);
+                    dst += stride;
+                }
             }
         }
     });

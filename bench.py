@@ -484,9 +484,12 @@ def main() -> int:
         extra = {}
         for name, f, s, cfs, ch in BASELINE_CONFIGS:
             log(f"--- {name}")
+            # Long-kernel configs (B=2^19) at the headline 1008-hop segment
+            # would hold ~12 GB resident (in + padded view + out); 504 hops
+            # stays within ~2% of the segment-size plateau at half that.
             r = measure_chip_rate(f, s, cfs, ch, args.precision, 0,
-                                  args.segment_blocks, max(4, args.reps // 2),
-                                  args.engine)
+                                  min(args.segment_blocks, 504),
+                                  max(4, args.reps // 2), args.engine)
             extra[name] = {"samples_per_sec": round(r["rate"], 1),
                            "realtime_x": round(r["realtime_x"], 1)}
         log(json.dumps(extra, indent=2))
