@@ -91,12 +91,14 @@ def _tmap(f, *trees):
 # butterfly halves by 1) but lowers worse in Mosaic; where the balance
 # lands depends on the cost of a multiply (A/B on v5e,
 # experiments/fused_ab.py):
-#   f32   -> all-roll (muls are cheap; strided lowering overhead loses:
-#            1.40 ms all-roll vs 1.94 ms mixed at B=2^18 chunk 16)
+#   f32   -> ALSO mixed at 8 since the r8 coarse-stage plan landed: the
+#            earlier all-roll choice (1.40 ms vs 1.94 ms mixed) predates
+#            it and was re-measured stale in round 3 — production segment
+#            bench: 8277 Ms/s at 8 vs 6827 at 64 vs 5918 all-roll
 #   df64r -> mixed at 8 (each complex mul is ~70 flops; strided stages
 #            halve the mul count and lower fine down to d=8 — segment
 #            bench: 1908 Ms/s at 8 vs 1581 at 16 vs 1516 at 32)
-_ROLL_BELOW = {"f32": 1 << 30, "df64r": 8, "df64": 8}
+_ROLL_BELOW = {"f32": 8, "df64r": 8, "df64": 8}
 
 # Tuning overrides (read once at import; used by experiments/kernel_tune
 # sweeps — table caches key on plan shape, so these must not change after
