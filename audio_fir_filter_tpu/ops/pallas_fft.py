@@ -321,7 +321,10 @@ def _use_interpret() -> bool:
 # Lane-tile width of the in-kernel phase loops. Each phase streams
 # [rows, LANE_TILE] column tiles between VMEM scratch and the VPU, so the
 # live SSA set is tile-sized: a monolithic [512, 512] body spills ~155 MiB
-# of VMEM (measured), the tiled one fits comfortably.
+# of VMEM (measured), the tiled one fits comfortably. Swept on v5e
+# (round 3): 128 optimal for df64 (2343 Ms/s vs 2037 at 256/512) and a
+# wash for f32 (8272 at 128 vs 8230 at 256); 64 fails Mosaic lowering
+# (internal error) — keep >= 128 on real TPU.
 LANE_TILE = int(os.environ.get("LOWCUT_LANE_TILE", 128))
 
 
