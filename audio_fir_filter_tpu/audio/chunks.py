@@ -135,6 +135,19 @@ def write_container(f, container: Container) -> None:
     endian = container.endian
     magic = _KIND_INFO[container.kind][0]
     total = 4 + sum(8 + c.size + (c.size & 1) for c in container.chunks)
+    # Both RIFF and IFF carry u32 sizes; a 2-h 96 kHz 24-bit stereo file
+    # already exceeds them. Fail typed and EARLY — before any payload is
+    # serialized — rather than letting struct.pack raise mid-write
+    # (RF64/W64 are deliberate non-goals: the reference supports neither).
+    limit = 0xFFFFFFFF
+    oversized = [c for c in container.chunks if c.size > limit]
+    if total > limit or oversized:
+        detail = (f"chunk {oversized[0].ckid!r} payload {oversized[0].size}"
+                  if oversized else f"container payload {total}")
+        raise AudioFormatError(
+            f"output exceeds the 4 GB {magic.decode()} u32 size limit "
+            f"({detail} bytes > {limit}); split the recording or use a "
+            "smaller bit depth")
     f.write(magic + struct.pack(endian + "I", total) + container.form_type)
     for c in container.chunks:
         f.write(c.ckid)

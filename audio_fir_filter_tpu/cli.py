@@ -91,11 +91,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--engine",
                    choices=["auto", "pallas", "fourstep", "pease", "stockham"],
                    default="auto",
-                   help="FFT engine: 'fourstep' (2-D constant-geometry XLA, "
-                        "fastest), 'pallas' (hand-written Mosaic kernels, "
-                        "VMEM-resident phases), 'pease' (1-D constant-"
-                        "geometry) or 'stockham' (unrolled; minutes of "
-                        "first-run compile). (default: fourstep)")
+                   help="FFT engine: 'pallas' (fused Mosaic kernel, VMEM-"
+                        "resident phases — the production TPU engine), "
+                        "'fourstep' (2-D constant-geometry XLA), 'pease' "
+                        "(1-D constant-geometry) or 'stockham' (unrolled; "
+                        "minutes of first-run compile). 'auto' = pallas on "
+                        "TPU, fourstep elsewhere. (default: auto)")
     p.add_argument("--mesh", type=str, default=None, metavar="DxT",
                    help="Device mesh shape data x time, e.g. 1x8: shard the "
                         "sample axis across T devices (halo exchange) and "

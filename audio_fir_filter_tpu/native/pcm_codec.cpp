@@ -195,8 +195,15 @@ void decode_pcm_planar(const uint8_t* in, int64_t frames, int channels,
     const bool be = big_endian != 0;
     // The 24-bit LE u32-load trick reads one byte past sample i's 3 bytes;
     // that byte exists for every sample except the very last one of the
-    // buffer, which the slow path handles.
+    // buffer, which the slow path handles. The trick also assumes a
+    // little-endian HOST (memcpy-u32 then shift-pair); `be` only describes
+    // the FILE's byte order, so gate on the host order at compile time and
+    // let big-endian hosts take the byte-or path.
+#if defined(__BYTE_ORDER__) && (__BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__)
     const bool fast24 = (bps == 3) && !be;
+#else
+    const bool fast24 = false;
+#endif
     parallel_frames(frames, threads, [=](int64_t lo, int64_t hi) {
         for (int c = 0; c < channels; ++c) {
             const uint8_t* src = in + (lo * channels + c) * bps;
@@ -228,8 +235,8 @@ void encode_pcm_planar(const float* in, int64_t frames, int channels,
     const int bps = bits / 8;
     // Quantization math runs in FLOAT, bit-identical to the double (and
     // NumPy) form: the scale 2^(bits-1) is a power of two, so x * g never
-    // rounds (pure exponent shift), and nearbyintf applies the same
-    // round-half-even to the same exact value as std::nearbyint does.
+    // rounds (pure exponent shift), and std::nearbyint(float) applies the
+    // same round-half-even to the same exact value as the double form.
     // Values beyond the clip bounds compare identically in either width.
     // Float math keeps the quantize chain vectorizable (vroundps).
     const float g = bits == 16 ? 32768.0f : 8388608.0f;
@@ -249,7 +256,7 @@ void encode_pcm_planar(const float* in, int64_t frames, int channels,
             for (int64_t base = lo; base < hi; base += BLK) {
                 const int64_t n = std::min(BLK, hi - base);
                 for (int64_t i = 0; i < n; ++i) {
-                    float v = nearbyintf(src[i] * g);
+                    float v = std::nearbyint(src[i] * g);
                     v = v < flo ? flo : v;
                     v = v > fhi ? fhi : v;
                     q[i] = static_cast<int32_t>(v);

@@ -113,8 +113,32 @@ if os.environ.get("LOWCUT_ROLL_BELOW_F32"):
 # r8 measured 2223 vs 2088 Ms/s (r4) on the production segment bench
 # (v5e, B=2^18 df64, 252-hop segments, round 3): radix-8 strided stages
 # do 7 twiddle muls per 8 points where an r4+r2 pair does 4 per 8 twice,
-# and CMUL dominates the df64r budget. f32 is unaffected (all-roll plan).
+# and CMUL dominates the df64r budget. Since round 3 the f32 path also
+# uses strided coarse stages (_ROLL_BELOW["f32"] = 8), so the r8/r4
+# choice applies to BOTH ariths (f32 A/B at B=2^18: r8 8272 vs r4 8162
+# Ms/s, commit 703bba4).
 _BASE_PLAN = os.environ.get("LOWCUT_KERNEL_BASE_PLAN", "r8")
+
+# Footgun guard: the knobs above are read ONCE at import and baked into
+# lru_cached tables keyed only on (n, arith_name); changing the env after
+# first use would silently mix plans and corrupt spectra. Snapshot what
+# was read and verify on every plan construction.
+_KNOBS_AT_IMPORT = {
+    "LOWCUT_ROLL_BELOW_DF64": os.environ.get("LOWCUT_ROLL_BELOW_DF64"),
+    "LOWCUT_ROLL_BELOW_F32": os.environ.get("LOWCUT_ROLL_BELOW_F32"),
+    "LOWCUT_KERNEL_BASE_PLAN": os.environ.get("LOWCUT_KERNEL_BASE_PLAN"),
+    "LOWCUT_LANE_TILE": os.environ.get("LOWCUT_LANE_TILE"),
+}
+
+
+def _check_knobs() -> None:
+    for k, v in _KNOBS_AT_IMPORT.items():
+        if os.environ.get(k) != v:
+            raise RuntimeError(
+                f"{k} changed after ops.pallas_fft was imported "
+                f"({v!r} -> {os.environ.get(k)!r}); kernel tables are "
+                "cached against the import-time plan — set tuning knobs "
+                "before first use (restart the process)")
 
 
 def _kernel_arith(arith):
@@ -126,6 +150,7 @@ def _kernel_arith(arith):
 def phase_plan(n: int, arith_name: str):
     """The kernel's stage plan for a length-n row transform: the standard
     r2/r4 plan with the fine tail decomposed to radix-2 roll stages."""
+    _check_knobs()
     return fc.dif_plan_roll(n, min(_ROLL_BELOW[arith_name], n), _BASE_PLAN)
 
 

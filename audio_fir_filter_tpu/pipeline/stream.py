@@ -20,7 +20,8 @@ import numpy as np
 from ..ops import overlap_save as osv
 
 
-def default_segment_len(plan: osv.OverlapSavePlan, target: int = 1 << 26) -> int:
+def default_segment_len(plan: osv.OverlapSavePlan, target: int = 1 << 26,
+                        channels: int = 2) -> int:
     """Segment body length: a multiple of the hop near ``target`` samples,
     aligned so the extended segment blocks into an exact multiple of the
     plan's conv_chunk (no leftover-tail conv graph: a k-hop body plus
@@ -30,8 +31,14 @@ def default_segment_len(plan: osv.OverlapSavePlan, target: int = 1 << 26) -> int
     # faster until ~10^8 samples/call (63-hop segments 2160 Ms/s, 252 ->
     # 2343, 504 -> 2412, 1008 -> 2445, flat beyond). 1<<26 frames/channel
     # keeps the host slab ~0.5 GB/channel-pair while staying within ~2%
-    # of the large-segment plateau.
-    k = max(1, target // plan.hop)
+    # of the large-segment plateau. TARGET IS PER CHANNEL: the device
+    # working set (per-channel f32 in/out plus the df64 FFT intermediates
+    # of one conv_chunk) scales linearly with channels, so the target is
+    # divided by channels/2 to hold the TOTAL device+host budget constant
+    # for high-channel-count files (a 16-ch file gets 1/8 the per-channel
+    # segment, same total samples per call as the stereo headline).
+    per_ch = max(1 << 22, target // max(1, channels // 2))
+    k = max(1, per_ch // plan.hop)
     ch = plan.conv_chunk
     nb = (k + 2) & ~1  # round_even(k + 1)
     k += -nb % ch  # lift so round_even(k+1) is a conv_chunk multiple
@@ -56,7 +63,7 @@ def filter_array_streamed(
     c, n = x.shape
     if n == 0:
         return x.astype(np.float32)
-    seg = segment_len or default_segment_len(plan)
+    seg = segment_len or default_segment_len(plan, channels=c)
     if n <= seg:
         y = np.asarray(osv.same_filter(x, plan))
         if progress_cb:
@@ -125,7 +132,7 @@ def sharded_filter_streamed(
     # Channels pad once to the data axis; segments to a multiple of the
     # time axis (and of the hop, for clean overlap-save blocking).
     cp = -(-c // d) * d
-    seg = segment_len or default_segment_len(plan)
+    seg = segment_len or default_segment_len(plan, channels=c)
     seg = max(1, -(-seg // (t * plan.hop))) * t * plan.hop
     if t > 1 and seg // t < plan.mo2:
         seg = -(-plan.mo2 * t // (t * plan.hop)) * t * plan.hop

@@ -36,7 +36,7 @@ class FilterOptions:
                               # "fast": plain float32 FFT path
                               # "auto": by output bit depth (resolve_precision)
     engine: str = "auto"  # FFT engine: auto | pallas | fourstep | pease | stockham
-                              # "stockham": unrolled FFT (fastest steady-state)
+                              # "auto": pallas on TPU, fourstep elsewhere
     block_size: int = 0       # overlap-save FFT size; 0 -> auto from kernel length
     mesh_shape: tuple[int, ...] | None = None  # None -> all local devices on "time"
     json_metrics: bool = False  # emit per-stage timing metrics as JSON

@@ -200,3 +200,42 @@ def test_normalize_common_factor_across_channels():
 def test_normalize_silence_is_noop():
     x = np.zeros((2, 10), dtype=np.float32)
     np.testing.assert_array_equal(normalize(x), x)
+
+
+# ------------------------------------------------------------- size limits
+
+def test_write_rejects_over_4gb_chunk():
+    """A >4 GB data chunk must fail typed and EARLY (before any payload
+    serialization), not as a raw struct.error mid-write — RIFF/IFF sizes
+    are u32 (audio/chunks.py write_container guard)."""
+    import io
+
+    from audio_fir_filter_tpu.audio.chunks import Chunk, Container, StreamedChunk
+
+    class _Giant(StreamedChunk):
+        def __init__(self):
+            super().__init__(b"data", 5 * 1024**3,
+                             lambda f: (_ for _ in ()).throw(
+                                 AssertionError("payload must not be written")))
+
+    c = Container(kind=WAVE, form_type=b"WAVE",
+                  chunks=[Chunk(b"fmt ", b"\x00" * 16), _Giant()])
+    buf = io.BytesIO()
+    from audio_fir_filter_tpu.audio.chunks import write_container
+    with pytest.raises(AudioFormatError, match="4 GB"):
+        write_container(buf, c)
+    assert buf.getvalue() == b""  # nothing written, not even the header
+
+
+def test_write_rejects_over_4gb_total():
+    """Total form payload just over u32 also fails typed (many chunks,
+    each individually legal)."""
+    import io
+
+    from audio_fir_filter_tpu.audio.chunks import Container, StreamedChunk, write_container
+
+    big = StreamedChunk(b"data", 0xFFFFFFF0, lambda f: None)
+    tip = StreamedChunk(b"more", 64, lambda f: None)
+    c = Container(kind=WAVE, form_type=b"WAVE", chunks=[big, tip])
+    with pytest.raises(AudioFormatError, match="4 GB"):
+        write_container(io.BytesIO(), c)
