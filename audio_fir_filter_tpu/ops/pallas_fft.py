@@ -371,6 +371,16 @@ def _call_fused(cc, r: int, c: int, karith, interpret, *, grid, x_in,
     b = r * c
     cleaves, cdef = jax.tree.flatten(cc)
     ncst = len(cleaves)
+    # Under shard_map (the sequence-parallel path, parallel/sharded_conv)
+    # the signal varies across mesh axes while the constant tables are
+    # replicated; pallas_call's vma checking needs (a) the out_shape's vma
+    # declared and (b) every operand at the same vma — so the tables are
+    # pvary'd up to the signal's axes and the output declared to match.
+    vma = jax.typeof(x_in).vma
+    if vma:
+        cleaves = [jax.lax.pvary(cl, tuple(vma)) for cl in cleaves]
+    out_shape = jax.tree.map(
+        lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, vma=vma), out_shape)
     # Planes per complex value in this arith (df64: 4, f32: 2), and the
     # plane order used to park pytrees in scratch.
     zdef = jax.tree.structure(karith.from_f32(jnp.zeros(()), jnp.zeros(())))
