@@ -298,3 +298,101 @@ def cmul_relaxed(x: CDF64, y: CDF64) -> CDF64:
         add_relaxed(mul_relaxed(x.re, y.re), neg(mul_relaxed(x.im, y.im))),
         add_relaxed(mul_relaxed(x.re, y.im), mul_relaxed(x.im, y.re)),
     )
+
+
+# --------------------------------------- 12-bit-split constant multiply
+#
+# Every multiply in the convolution engine is by a CONSTANT table (FFT
+# twiddles, the four-step twiddle T, the kernel spectrum H) — there are no
+# value*value products anywhere on the hot path. That admits a cheaper
+# error-free product than the presplit-Dekker form above: quantize the
+# constant's leading part to 12 MANTISSA BITS on host (c = c12 + lo with
+# |lo| <= ~2^-12|c|, lo itself f32 so the representation is exact to
+# ~2^-36|c|). Then with the value's hi part Dekker-split once per complex
+# multiply (xh + xl == x.hi, 12-bit halves):
+#
+#     x * c = xh*c12 + xl*c12 + x.hi*lo + x.lo*f32(c)
+#              ^exact    ^exact   ^2^-36     ^2^-24|x.lo|
+#
+# Four multiplies and three adds per real product — no (xh*chh - p) error
+# reconstruction chain — cutting a relaxed complex constant-multiply from
+# ~96/70 (plain/presplit) to ~54 weighted f32 ops, and the table from 4
+# planes (DF64Const) to 3.
+#
+# Error analysis (budget: <= 1 LSB @ 24-bit = 2^-24 output-relative;
+# df64r measures 0.001 LSB, so ~10 bits of headroom exist):
+# - hi channel (t1 = xh*c12) is EXACT; t2 exact; t3 rounds at 2^-36|xc|
+#   plus the 2^-36 representation error of c; t4 rounds at 2^-24|x.lo*c|.
+# - the lo channel is unnormalized and GROWS: |lo_out| ~ 2^-12|xc| +
+#   |x.lo||c|, i.e. ~s * 2^-12 relative after s chained stages (vs
+#   s * 2^-24 for df64r). lo-channel rounding is then ~2^-36 * s per op;
+#   RMS-accumulated over the engine's ~40 stage passes this is ~2^-28
+#   output-relative — two orders below the budget. Hardware fidelity gate
+#   (round 4, experiments/df40_ab_r04.log): within ONE f32 ulp of the
+#   f64 oracle everywhere (1.000 LSB @ 24-bit at a 1.028 output peak,
+#   where 1 ulp == 1 LSB; 0.004 LSB @ 16-bit).
+# - unlike a df64r-value shortcut, NO term is dropped: t4's factor f32(c)
+#   equals c12 + lo up to 2^-24|c|, so the carried-lo cross term is
+#   complete at 2^-24|x.lo||c| ~ 2^-48-level absolute.
+
+class DF40Const(NamedTuple):
+    """Constant planes for the 12-bit-split multiply: c ~= c12 + lo
+    (c12 carries the top 12 mantissa bits), f = f32(c)."""
+
+    c12: jnp.ndarray
+    lo: jnp.ndarray
+    f: jnp.ndarray
+
+
+class CDF40Const(NamedTuple):
+    re: DF40Const
+    im: DF40Const
+
+
+def const12_split_np(x64: np.ndarray) -> DF40Const:
+    """Host-side split of float64 into (c12, lo, f) NumPy planes."""
+    x64 = np.asarray(x64, np.float64)
+    f = x64.astype(np.float32)
+    t = np.float32(_SPLIT) * f
+    c12 = (t - (t - f)).astype(np.float32)
+    lo = (x64 - c12.astype(np.float64)).astype(np.float32)
+    return DF40Const(c12, lo, f)
+
+
+def cconst12_split_np(z64: np.ndarray) -> CDF40Const:
+    z64 = np.asarray(z64, np.complex128)
+    return CDF40Const(const12_split_np(z64.real), const12_split_np(z64.imag))
+
+
+def conj_const12(c: CDF40Const) -> CDF40Const:
+    return CDF40Const(c.re, DF40Const(-c.im.c12, -c.im.lo, -c.im.f))
+
+
+def _mul_const12(x: DF64, xh, xl, c: DF40Const) -> DF64:
+    """x * c given x.hi's shared Dekker split (xh + xl == x.hi)."""
+    return DF64(xh * c.c12,
+                xl * c.c12 + (x.hi * c.lo + x.lo * c.f))
+
+
+def cmul_const12_relaxed(x: CDF64, c: CDF40Const) -> CDF64:
+    rh, rl = _split(x.re.hi)
+    ih, il = _split(x.im.hi)
+    m_rr = _mul_const12(x.re, rh, rl, c.re)
+    m_ii = _mul_const12(x.im, ih, il, c.im)
+    m_ri = _mul_const12(x.re, rh, rl, c.im)
+    m_ir = _mul_const12(x.im, ih, il, c.re)
+    return CDF64(add_relaxed(m_rr, neg(m_ii)), add_relaxed(m_ri, m_ir))
+
+
+def mul_sconst12(x: DF64, c12: float, c_lo: float, c_f: float) -> DF64:
+    """x * scalar-constant via the 12-bit split (for omega_8 rotations)."""
+    xh, xl = _split(x.hi)
+    return _mul_const12(x, xh, xl,
+                        DF40Const(jnp.float32(c12), jnp.float32(c_lo),
+                                  jnp.float32(c_f)))
+
+
+def sconst12(x64: float) -> tuple[float, float, float]:
+    """Host 12-bit split of a scalar constant -> (c12, lo, f)."""
+    p = const12_split_np(np.asarray([x64]))
+    return float(p.c12[0]), float(p.lo[0]), float(p.f[0])

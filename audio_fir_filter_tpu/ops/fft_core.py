@@ -188,6 +188,34 @@ class _ArithDF64Relaxed(_ArithDF64):
         return z.re.hi + z.re.lo, z.im.hi + z.im.lo
 
 
+class _ArithDF40(_ArithDF64Relaxed):
+    """Relaxed df64 VALUE arithmetic with 12-BIT-SPLIT constant tables
+    (df64.DF40Const planes: c12 + lo + f32(c)). Every hot-path multiply
+    is by a constant, and quantizing the constant's leading part to 12
+    mantissa bits makes both value-half products error-free WITHOUT the
+    Dekker error-reconstruction chain — a complex constant-multiply drops
+    from ~70 (presplit df64r) to ~54 weighted f32 ops, and tables from 4
+    planes to 3. Accuracy ~2^-30 worst-case per op (error analysis at
+    df64.cmul_const12_relaxed). On the hardware fidelity gate the whole
+    engine lands within ONE float32 ulp of the f64 oracle everywhere
+    (max err 1.000 LSB @ 24-bit, which is exactly 1 ulp at the gate
+    signal's 1.028 output peak — f32 spacing in [1, 2) is 2^-23; a
+    2-ulp miss would need per-sample error >= 1.5 ulp vs the ~2^-28
+    actual, so the <= 1 LSB gate holds deterministically; outputs <= 1.0
+    are within 0.5 LSB). Same oracle gates as every arith."""
+
+    name = "df40"
+
+    make_const_np = staticmethod(dd.cconst12_split_np)
+    mul_const = staticmethod(dd.cmul_const12_relaxed)
+    conj_const = staticmethod(dd.conj_const12)
+
+    @staticmethod
+    def mul_rsqrt2(a):
+        c = _RSQRT2_C12
+        return dd.CDF64(dd.mul_sconst12(a.re, *c), dd.mul_sconst12(a.im, *c))
+
+
 _ArithF32.make_const_np = _ArithF32.wrap_np
 _ArithF32.mul_const = _ArithF32.mul
 _ArithF32.conj_const = _ArithF32.conj
@@ -198,8 +226,10 @@ _ArithDF64.conj_const = _ArithDF64.conj
 ARITH_F32 = _ArithF32
 ARITH_DF64 = _ArithDF64
 ARITH_DF64_RELAXED = _ArithDF64Relaxed
+ARITH_DF40 = _ArithDF40
 
-_ARITHS = {"f32": ARITH_F32, "df64": ARITH_DF64, "df64r": ARITH_DF64_RELAXED}
+_ARITHS = {"f32": ARITH_F32, "df64": ARITH_DF64, "df64r": ARITH_DF64_RELAXED,
+           "df40": ARITH_DF40}
 
 
 def arith_by_name(name: str):
@@ -209,6 +239,7 @@ def arith_by_name(name: str):
 _RSQRT2_64 = 1.0 / np.sqrt(2.0)
 _RSQRT2_HI = float(np.float32(_RSQRT2_64))
 _RSQRT2_LO = float(np.float64(_RSQRT2_64) - np.float64(np.float32(_RSQRT2_64)))
+_RSQRT2_C12 = dd.sconst12(_RSQRT2_64)  # (c12, lo, f) for the df40 arith
 
 
 def _w8_1(a, arith):

@@ -73,13 +73,20 @@ def choose_block_size(num_taps: int, requested: int = 0,
                       min_size: int = 1 << 13, max_size: int = 1 << 21) -> int:
     """FFT size B for kernel length T: smallest power of two >= 4*(T-1),
     clamped to [min_size, max_size] but always > 2*(T-1) so the hop L = B-M
-    stays a useful fraction of B.
+    stays a useful fraction of B — with a 2^18 FLOOR for production-scale
+    kernels (M >= 2^13).
 
-    The factor 4 puts B/M in [4, 8) — measured optimum on v5e for the
-    unrolled DIF engine (experiments/retune_micro.py + clean A/B at
-    M=38,400: B=2^18 runs ~18% faster end-to-end than 2^19 despite the
-    lower hop/B, the smaller per-chunk working set winning back more than
-    the extra FFT passes cost)."""
+    Shape evidence on v5e (fused Pallas engine, round-3/4 hardware A/Bs):
+    B=2^18 (512x512 four-step) is the sweet spot whenever the kernel
+    allows it, and next_pow2(4M) wins above it:
+      M=17,640 (44.1 kHz):  2^18 beats the old auto 2^17 by +13%/+28%
+                            high/fast (2.39/6.36 vs 2.12/4.95 Gs/s)
+      M=38,400 (96 kHz):    2^18 beats 2^19 by ~18%
+                            (experiments/cfg2_blocksize_ab_r03.log)
+      M=76,800 (192 kHz):   2^19 (= next_pow2(4M)) beats 2^18 by
+                            +13%/+19% high/fast (2.32/8.18 vs 2.07/6.85)
+    Small kernels (M < 2^13, test-scale) keep the old min_size rule — at
+    those sizes the CPU test suite would otherwise pay 512x512 FFTs."""
     m = num_taps - 1
     if requested:
         b = _next_pow2(requested)
@@ -87,6 +94,8 @@ def choose_block_size(num_taps: int, requested: int = 0,
             raise ValueError(f"block size {requested} must exceed kernel order {m}")
         return b
     b = max(min_size, _next_pow2(4 * max(m, 1)))
+    if m >= (1 << 13):
+        b = max(b, 1 << 18)
     while b > max_size and b >= 4 * _next_pow2(m + 1):
         b >>= 1
     return b
@@ -296,3 +305,27 @@ def extended_filter(xe, plan: OverlapSavePlan, out_len: int) -> jax.Array:
     y = _same_filter_jit(xe, plan.static, plan.H)
     y = y[:, plan.mo2 : plan.mo2 + out_len]
     return y[0] if squeeze else y
+
+
+@functools.partial(jax.jit, static_argnums=(1, 3))
+def _extended_filter_peak_jit(xe, plan_static, H, out_len):
+    t = plan_static[0]
+    mo2 = (t - 1) // 2
+    y = _same_filter_impl(xe, plan_static, H)
+    y = jax.lax.slice_in_dim(y, mo2, mo2 + out_len, axis=1)
+    peak = jnp.max(jnp.abs(y)) if y.size else jnp.float32(0)
+    return y, peak
+
+
+def extended_filter_peak(xe, plan: OverlapSavePlan, out_len: int):
+    """:func:`extended_filter` that also returns the segment's |max| peak,
+    reduced ON DEVICE (fused into the same program) — the streaming
+    pipeline's building block for the reference's maxMag reduction
+    (/root/reference/ProcessFile.cp:92-97) without a second full host pass
+    over the output."""
+    xe = jnp.asarray(xe, dtype=jnp.float32)
+    squeeze = xe.ndim == 1
+    if squeeze:
+        xe = xe[None, :]
+    y, peak = _extended_filter_peak_jit(xe, plan.static, plan.H, out_len)
+    return (y[0] if squeeze else y), peak

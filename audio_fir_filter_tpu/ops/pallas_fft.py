@@ -98,7 +98,7 @@ def _tmap(f, *trees):
 #   df64r -> mixed at 8 (each complex mul is ~70 flops; strided stages
 #            halve the mul count and lower fine down to d=8 — segment
 #            bench: 1908 Ms/s at 8 vs 1581 at 16 vs 1516 at 32)
-_ROLL_BELOW = {"f32": 8, "df64r": 8, "df64": 8}
+_ROLL_BELOW = {"f32": 8, "df64r": 8, "df64": 8, "df40": 8}
 
 # Tuning overrides (read once at import; used by experiments/kernel_tune
 # sweeps — table caches key on plan shape, so these must not change after
@@ -128,6 +128,7 @@ _KNOBS_AT_IMPORT = {
     "LOWCUT_ROLL_BELOW_F32": os.environ.get("LOWCUT_ROLL_BELOW_F32"),
     "LOWCUT_KERNEL_BASE_PLAN": os.environ.get("LOWCUT_KERNEL_BASE_PLAN"),
     "LOWCUT_LANE_TILE": os.environ.get("LOWCUT_LANE_TILE"),
+    "LOWCUT_HIGH_KERNEL_ARITH": os.environ.get("LOWCUT_HIGH_KERNEL_ARITH"),
 }
 
 
@@ -141,10 +142,23 @@ def _check_knobs() -> None:
                 "before first use (restart the process)")
 
 
+# In-kernel arithmetic for the high path. "df40" (12-bit-split constant
+# tables, fc.ARITH_DF40) is the round-4 default: 2.926 vs 2.493 Gs/s
+# (+17%) over "df64r" at the headline config, within 1 f32 ulp of the
+# f64 oracle on the hardware fidelity gate (A/B + gate run:
+# experiments/df40_ab_r04.log; deterministic-bound argument at
+# fc._ArithDF40). Same import-time-only caveat as the other knobs
+# (tables cache on arith name).
+_HIGH_ARITH = os.environ.get("LOWCUT_HIGH_KERNEL_ARITH", "df40")
+
+
 def _kernel_arith(arith):
     """The in-kernel arithmetic for a caller-facing arith: the relaxed
-    presplit-table df64 variant for the high path, unchanged otherwise."""
-    return ARITH_DF64_RELAXED if arith is ARITH_DF64 else arith
+    double-float variant (df40 12-bit-split tables by default, df64r via
+    LOWCUT_HIGH_KERNEL_ARITH) for the high path, unchanged otherwise."""
+    if arith is ARITH_DF64:
+        return fc.arith_by_name(_HIGH_ARITH)
+    return arith
 
 
 def phase_plan(n: int, arith_name: str):
@@ -488,11 +502,13 @@ def pallas_segment_filter(x: jnp.ndarray, num_taps: int, b: int, H2,
     pallas_call, no materialized block matrix.
 
     Owns its framing: the hop is the largest multiple of 8*c not above
-    B - M (>= 98.9% of the maximal hop at production shapes) so EVERY
-    window — including the second of each complex pair, offset by one
-    hop — starts on an 8-row (sublane-tile) boundary of the
+    B - ceil(M/c)*c (>= 98.9% of the maximal hop at production shapes) so
+    EVERY window — including the second of each complex pair, offset by
+    one hop — starts on an 8-row (sublane-tile) boundary of the
     [C, rows, c] signal view; Mosaic requires provably tile-aligned DMA
-    offsets.
+    offsets. The alias skip is likewise rounded up to whole rows, so the
+    path applies to ANY kernel length (see the mr/delta derivation in the
+    body).
     Grid step (ch, k) covers real blocks 2k and 2k+1 of channel ch: ONE
     merged DMA fetches rows [2k*hr, 2k*hr + r + hr) of the [C, rows, c]
     view (the union of both overlapping windows — the hop-offset second
@@ -515,16 +531,30 @@ def pallas_segment_filter(x: jnp.ndarray, num_taps: int, b: int, H2,
     karith = _kernel_arith(arith)
     m = num_taps - 1
     mo2 = m // 2
-    hp = ((b - m) // (8 * c)) * (8 * c)
-    if hp <= 0 or m % c:
+    # The alias-contaminated block head is rounded UP to whole rows
+    # (mr = ceil(M / c)): positions [M', B) with M' = mr*c >= M are a
+    # subset of the alias-free region, so discarding the extra
+    # delta = M' - M valid positions per block (< c, i.e. <= 0.4% of the
+    # hop at production shapes) buys row-aligned writes for ANY kernel
+    # length. Round-4 fix: the previous `m % c == 0` gate silently pushed
+    # every 44.1 kHz config (M = 17,640, never divisible by c) onto the
+    # generic block path and its extra gather/unfold HBM passes — the
+    # round-3 cfg1/cfg3 2-4x shortfall.
+    mr = -(-m // c)                    # alias-skip rows (ceil)
+    delta = mr * c - m
+    hp = ((b - mr * c) // (8 * c)) * (8 * c)
+    if hp <= 0:
         return None
     if not interpret and (c < 128 or r < 8):
         return None
     hr = hp // c                       # valid rows per block
-    mr = m // c                        # alias-contaminated head rows
     nb = -(-n // hp)
     nb += nb & 1                       # two real blocks per complex FFT
-    xp = jnp.pad(x, ((0, 0), (mo2, nb * hp + (b - hp) - mo2 - n)))
+    # Left pad mo2 + delta: block j's first written position (M' of the
+    # circular conv) then lands exactly on out[j*hp], keeping the written
+    # hops a contiguous tiling of the output from 0.
+    xp = jnp.pad(x, ((0, 0),
+                     (mo2 + delta, nb * hp + (b - hp) - mo2 - delta - n)))
     rows_total = (nb * hp + (b - hp)) // c
     xp3 = xp.reshape(ch_n, rows_total, c)
     tabs = conv_tables(b, karith.name)

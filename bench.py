@@ -131,6 +131,14 @@ def _pallas_roofline(plan, chip_rate: float) -> None:
         W8 = 2 * 17.0 + 16.0        # omega_8: two mul_dconst_relaxed + cadd
         NEG_I, POW2, PACK = 4.0, 4.0, 12.0   # 4 f32 planes per complex
         SEL = 4.0
+    elif an == "df40":
+        # 12-bit-split constant tables (df64.cmul_const12_relaxed): per
+        # complex const-multiply 2 value splits (8) + 4 real muls at
+        # 4 mul + 3 add (28) + 2 relaxed adds (16) + negation (2) = 54.
+        CADD, CMUL = 16.0, 54.0
+        W8 = 2 * 11.0 + 16.0        # two mul_sconst12 (split 4 + 7) + cadd
+        NEG_I, POW2, PACK = 4.0, 4.0, 12.0
+        SEL = 4.0
     else:                            # plain f32 complex
         CADD, CMUL = 2.0, 6.0
         W8 = 2 * 2.0 + 2.0

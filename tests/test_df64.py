@@ -310,3 +310,68 @@ def test_conj_const_negates_imaginary():
     np.testing.assert_array_equal(np.asarray(cc.im.hi), -np.asarray(c.im.hi))
     np.testing.assert_array_equal(np.asarray(cc.im.hh), -np.asarray(c.im.hh))
     np.testing.assert_array_equal(np.asarray(cc.re.hi), np.asarray(c.re.hi))
+
+
+# ------------------------------------------------- 12-bit-split const mul
+
+from audio_fir_filter_tpu.ops import df64 as dd
+
+
+def test_cmul_const12_accuracy():
+    """The df40 constant multiply (df64.cmul_const12_relaxed): error vs the
+    float64 product stays ~2^-30 per element even with lo channels grown to
+    2^-8 of hi (far beyond what ~40 relaxed stages produce) and with
+    re/im cancellation — two orders inside the 2^-26 engine budget."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    x64 = rng.uniform(-2, 2, 4096)
+    xlo = (rng.uniform(-1, 1, 4096) * 2**-8 * np.abs(x64)).astype(np.float32)
+    x = dd.DF64(np.float32(x64), xlo)
+    xv = x.hi.astype(np.float64) + xlo.astype(np.float64)
+    c64 = rng.uniform(-1, 1, 4096) + 1j * rng.uniform(-1, 1, 4096)
+    c = jax.tree.map(jnp.asarray, dd.cconst12_split_np(c64))
+    z = jax.tree.map(jnp.asarray,
+                     dd.CDF64(x, dd.DF64(np.roll(np.float32(x64), 1),
+                                         np.roll(xlo, 1))))
+    zv = xv + 1j * np.roll(xv, 1)
+
+    out = dd.cmul_const12_relaxed(z, c)
+    got = (np.asarray(out.re.hi, np.float64) + np.asarray(out.re.lo, np.float64)
+           + 1j * (np.asarray(out.im.hi, np.float64)
+                   + np.asarray(out.im.lo, np.float64)))
+    want = zv * c64
+    assert np.max(np.abs(got - want) / np.abs(want)) < 2**-29
+
+    outc = dd.cmul_const12_relaxed(z, dd.conj_const12(c))
+    gotc = (np.asarray(outc.re.hi, np.float64)
+            + np.asarray(outc.re.lo, np.float64)
+            + 1j * (np.asarray(outc.im.hi, np.float64)
+                    + np.asarray(outc.im.lo, np.float64)))
+    wantc = zv * np.conj(c64)
+    assert np.max(np.abs(gotc - wantc) / np.abs(wantc)) < 2**-29
+
+
+def test_const12_split_representation():
+    """c12 carries <= 12 mantissa bits (value-half products error-free) and
+    c12 + lo reconstructs the f64 constant to ~2^-36 relative."""
+    rng = np.random.default_rng(1)
+    c64 = rng.uniform(-1, 1, 10000)
+    p = dd.const12_split_np(c64)
+    # exactness of 12x12-bit products: c12 * any 12-bit half fits f32
+    m, e = np.frexp(p.c12[p.c12 != 0])
+    assert np.all(m * 4096 == np.round(m * 4096))  # <= 12 mantissa bits
+    rec = p.c12.astype(np.float64) + p.lo.astype(np.float64)
+    assert np.max(np.abs(rec - c64)) < 2**-35
+    assert np.array_equal(p.f, c64.astype(np.float32))
+
+
+def test_mul_sconst12_rsqrt2():
+    rng = np.random.default_rng(2)
+    x64 = rng.uniform(-2, 2, 1000)
+    x = dd.DF64(jnp.asarray(np.float32(x64)),
+                jnp.asarray((x64 - np.float32(x64)).astype(np.float32)))
+    c = 1.0 / np.sqrt(2.0)
+    got = dd.mul_sconst12(x, *dd.sconst12(c))
+    gv = np.asarray(got.hi, np.float64) + np.asarray(got.lo, np.float64)
+    assert np.max(np.abs(gv - x64 * c) / np.abs(x64 * c)) < 2**-34

@@ -29,8 +29,12 @@ def make_case(n, fc=0.05, bw=0.02, seed=0, channels=None):
 
 
 def test_choose_block_size():
-    assert osv.choose_block_size(17641) == 1 << 17   # 4*17640 -> 2^17
-    assert osv.choose_block_size(401) == 1 << 13     # min clamp
+    # Production kernels get the 2^18 floor (v5e A/Bs in the docstring);
+    # next_pow2(4M) wins above it.
+    assert osv.choose_block_size(17641) == 1 << 18   # 44.1 kHz M=17640
+    assert osv.choose_block_size(38401) == 1 << 18   # 96 kHz M=38400
+    assert osv.choose_block_size(76801) == 1 << 19   # 192 kHz M=76800
+    assert osv.choose_block_size(401) == 1 << 13     # min clamp (test-scale)
     assert osv.choose_block_size(401, requested=4096) == 4096
     with pytest.raises(ValueError):
         osv.choose_block_size(9000, requested=4096)
@@ -161,9 +165,22 @@ def test_pallas_segment_path_matches_oracle_and_falls_back():
             tol = high_tol_lsb24() if precision == "high" else 600.0
             assert oracle.max_lsb_error(y, want) <= tol, (precision, n)
 
-    # A kernel whose order does not divide the lane width must decline
-    # (the block-matrix path takes over): m = 130, c = 32.
+    # Since round 4 a kernel order NOT divisible by the lane width also
+    # takes the fused path (ceil-row alias skip + delta-shifted framing —
+    # the 44.1 kHz M=17,640 case): m = 130, c = 32 -> mr = 5, delta = 30.
+    taps131 = kd.highpass_taps(0.05, 130)        # 131 taps, m = 130
+    plan131 = osv.make_plan(taps131, precision="high", block_size=1024,
+                            engine="pallas")
+    assert plan131.m % fc.fourstep_split(plan131.block_size)[1] != 0
+    for chn, n in ((2, 2 * plan131.hop + 37), (1, 301)):
+        x = rng.uniform(-1, 1, (chn, n)).astype(np.float32)
+        y = np.asarray(osv.same_filter(jnp.asarray(x), plan131))
+        want = np.stack([oracle.direct_filter(xi, taps131) for xi in x])
+        assert oracle.max_lsb_error(y, want) <= high_tol_lsb24(), n
+
+    # A kernel too long for the block (hop would be <= 0) must decline
+    # (the block-matrix path takes over): M' = ceil(999/32)*32 = 1024 = B.
     got = pf.pallas_segment_filter(jnp.zeros((1, 4000), jnp.float32),
-                                   num_taps=131, b=1024, H2=None,
+                                   num_taps=1000, b=1024, H2=None,
                                    arith=fc.ARITH_DF64)
     assert got is None
