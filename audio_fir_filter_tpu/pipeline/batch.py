@@ -161,16 +161,18 @@ def run_batch(inputs, dest_dir, opts: FilterOptions, *,
             total = data.num_frames * data.num_channels
             bar = ProgressBar(total, enabled=show_progress and sys.stdout.isatty())
             t0 = time.perf_counter()
-            filtered = filter_array_streamed(data.samples, plan,
-                                             progress_cb=bar.update)
+            # Device-fused peak: no host re-scan (ProcessFile.cp:92-97).
+            filtered, max_mag = filter_array_streamed(
+                data.samples, plan, progress_cb=bar.update)
             metrics["filter"] = time.perf_counter() - t0
             bar.final()
 
             t0 = time.perf_counter()
-            max_mag = float(np.max(np.abs(filtered))) if filtered.size else 0.0
-            if max_mag > 1.0 or opts.normalize:
+            if (max_mag > 1.0 or opts.normalize) and max_mag > 0.0:
                 show_status("Doing audio normalize.")
-                filtered = audio.normalize(filtered)
+                if not filtered.flags.writeable:
+                    filtered = filtered.copy()
+                filtered *= np.float32(1.0 / max_mag)
             metrics["normalize"] = time.perf_counter() - t0
 
             metrics.update(frames=data.num_frames, channels=data.num_channels,

@@ -87,25 +87,25 @@ def process_file(input_path, output_path, opts: FilterOptions,
             data.samples, plan, mesh, progress_cb=bar.update)
         t["filter"] = time.perf_counter() - t0
         bar.final()
-        # One global common scale, exactly ProcessFile.cp:92-101.
-        t0 = time.perf_counter()
-        if max_mag > 1.0 or opts.normalize:
-            show_status("Doing audio normalize.")
-            filtered = audio.normalize(filtered)
-        t["normalize"] = time.perf_counter() - t0
     else:
-        filtered = filter_array_streamed(data.samples, plan, progress_cb=bar.update)
+        # Peak comes back from the device, fused into the filter program
+        # per segment — no host re-scan of the output (round-4 change;
+        # the reference's maxMag loop is ProcessFile.cp:92-97).
+        filtered, max_mag = filter_array_streamed(
+            data.samples, plan, progress_cb=bar.update)
         t["filter"] = time.perf_counter() - t0
         bar.final()
 
-        # Normalize if any channel exceeds full scale, or on explicit request
-        # (ProcessFile.cp:92-101: one global peak, one common factor).
-        t0 = time.perf_counter()
-        max_mag = float(np.max(np.abs(filtered))) if filtered.size else 0.0
-        if max_mag > 1.0 or opts.normalize:
-            show_status("Doing audio normalize.")
-            filtered = audio.normalize(filtered)
-        t["normalize"] = time.perf_counter() - t0
+    # One global common scale, exactly ProcessFile.cp:92-101: normalize if
+    # any channel exceeds full scale, or on explicit request. The peak is
+    # already known, so the scale is applied in place (no extra max pass).
+    t0 = time.perf_counter()
+    if (max_mag > 1.0 or opts.normalize) and max_mag > 0.0:
+        show_status("Doing audio normalize.")
+        if not filtered.flags.writeable:  # device-backed view (short files)
+            filtered = filtered.copy()
+        filtered *= np.float32(1.0 / max_mag)
+    t["normalize"] = time.perf_counter() - t0
 
     show_status("Writing output file.")
     t0 = time.perf_counter()

@@ -50,54 +50,85 @@ def filter_array_streamed(
     plan: osv.OverlapSavePlan,
     segment_len: int = 0,
     progress_cb=None,
-) -> np.ndarray:
+) -> tuple[np.ndarray, float]:
     """Filter planar [C, N] float32 through the device in segments.
 
-    Returns [C, N] float32, identical semantics to
-    :func:`..ops.overlap_save.same_filter` (zero-padded 'same' filtering).
+    Returns ``(y [C, N] float32, peak)``: identical filtering semantics to
+    :func:`..ops.overlap_save.same_filter` (zero-padded 'same'), plus the
+    global |max| of the output — reduced ON DEVICE per segment (fused into
+    the filter program) so the caller's normalize decision
+    (/root/reference/ProcessFile.cp:92-101) costs no extra host pass.
     ``progress_cb(num_samples)`` is invoked per finished segment with
     C * segment frames processed.
+
+    Host residency is ~2x the payload (input + output): each segment's
+    extended slice [s - Mo2, e + Mo2) is assembled into its own small
+    staging buffer with zeros only at the true signal edges — there is NO
+    full-length padded copy of the input (a third full-payload array at
+    1-hour scale, dropped in round 4).
     """
     if x.ndim == 1:
-        return filter_array_streamed(x[None, :], plan, segment_len, progress_cb)[0]
+        y, peak = filter_array_streamed(x[None, :], plan, segment_len,
+                                        progress_cb)
+        return y[0], peak
     c, n = x.shape
     if n == 0:
-        return x.astype(np.float32)
+        return x.astype(np.float32), 0.0
     seg = segment_len or default_segment_len(plan, channels=c)
     if n <= seg:
-        y = np.asarray(osv.same_filter(x, plan))
+        y, peak = osv.extended_filter_peak(
+            _edge_slice(x, -plan.mo2, n + plan.mo2), plan, n)
+        y = np.asarray(y)
         if progress_cb:
             progress_cb(c * n)
-        return y
+        return y, float(peak)
 
     mo2 = plan.mo2
-    m = plan.m
     num_segments = -(-n // seg)
-    # Zero-pad so every extended slice [s - mo2, e + mo2) is in range and the
-    # last segment has the full body length (constant shapes -> one compile).
-    xp = np.zeros((c, mo2 + num_segments * seg + mo2), dtype=np.float32)
-    xp[:, mo2 : mo2 + n] = x
-
     out = np.empty((c, n), dtype=np.float32)
-    pending = []  # (device_result, start, end) — drain lazily for overlap
+    peak = 0.0
+    pending = []  # (device_y, device_peak, start, end) — drained lazily
     for j in range(num_segments):
         s = j * seg
         e = min(n, s + seg)
-        xe = xp[:, s : s + seg + m]  # [C, seg + M] (body + both halos)
-        yj = osv.extended_filter(xe, plan, seg)  # async dispatch
-        pending.append((yj, s, e))
+        # [C, seg + M] staging buffer: body + halos, zero-padded only where
+        # the slice leaves [0, N) (true signal edges / last-segment tail).
+        xe = _edge_slice(x, s - mo2, s + seg + mo2)
+        yj, pj = osv.extended_filter_peak(xe, plan, seg)  # async dispatch
+        pending.append((yj, pj, s, e))
         if len(pending) >= 2:  # keep one segment in flight
-            _drain(pending.pop(0), out, c, progress_cb)
+            peak = max(peak, _drain(pending.pop(0), out, c, n, progress_cb))
     while pending:
-        _drain(pending.pop(0), out, c, progress_cb)
-    return out
+        peak = max(peak, _drain(pending.pop(0), out, c, n, progress_cb))
+    return out, peak
 
 
-def _drain(item, out, c, progress_cb):
-    yj, s, e = item
-    out[:, s:e] = np.asarray(yj)[:, : e - s]
+def _edge_slice(x: np.ndarray, g0: int, g1: int) -> np.ndarray:
+    """x[:, g0:g1] with zeros outside [0, N) — one segment-sized buffer."""
+    c, n = x.shape
+    s0, s1 = max(0, g0), min(n, g1)
+    if s0 == g0 and s1 == g1:
+        return x[:, g0:g1]  # interior segment: plain view, no copy at all
+    buf = np.zeros((c, g1 - g0), dtype=np.float32)
+    buf[:, s0 - g0 : s1 - g0] = x[:, s0:s1]
+    return buf
+
+
+def _drain(item, out, c, n, progress_cb):
+    yj, pj, s, e = item
+    if e - s < np.shape(yj)[1]:
+        # Final partial segment: the device peak covered pad-tail columns
+        # too (the filter ring of the true tail); recompute on the valid
+        # slice — one segment, not the whole output.
+        seg_y = np.asarray(yj)[:, : e - s]
+        out[:, s:e] = seg_y
+        peak = float(np.max(np.abs(seg_y))) if seg_y.size else 0.0
+    else:
+        out[:, s:e] = np.asarray(yj)
+        peak = float(pj)
     if progress_cb:
         progress_cb(c * (e - s))
+    return peak
 
 
 def sharded_filter_streamed(
@@ -139,8 +170,15 @@ def sharded_filter_streamed(
     mo2 = plan.mo2
 
     num_segments = -(-n // seg)
-    xp = np.zeros((cp, mo2 + num_segments * seg + mo2), np.float32)
-    xp[:c, mo2 : mo2 + n] = x
+    if cp != c:
+        # Channel pad to the data axis (tiny for realistic meshes); the
+        # TIME axis is never fully padded — segments assemble their own
+        # edge-padded staging buffers (no third full-payload copy).
+        xpad = np.zeros((cp, n), np.float32)
+        xpad[:c] = x
+        x_in = xpad
+    else:
+        x_in = x
 
     out = np.empty((c, n), dtype=np.float32)
     peak = 0.0
@@ -148,9 +186,9 @@ def sharded_filter_streamed(
     for j in range(num_segments):
         s = j * seg
         e = min(n, s + seg)
-        body = xp[:, mo2 + s : mo2 + s + seg]
-        left = xp[:, s : s + mo2]
-        right = xp[:, mo2 + s + seg : mo2 + s + seg + mo2]
+        body = _edge_slice(x_in, s, s + seg)
+        left = _edge_slice(x_in, s - mo2, s)
+        right = _edge_slice(x_in, s + seg, s + seg + mo2)
         yj, _ = sharded_filter(body, plan, mesh, normalize=False,
                                edge_left=left, edge_right=right,
                                auto_scale=False)
