@@ -46,7 +46,7 @@ HIGH = "high"
 
 def default_engine() -> str:
     """The production engine for the current backend: the fused Pallas
-    kernel on real TPUs (round-3 measured 2.48 Gs/s df64 / 8.27 Gs/s f32
+    kernel on real TPUs (round-4 measured 2.93 Gs/s df40 / 8.27 Gs/s f32
     vs the XLA fourstep engine's ~1.4 / ~2.4 on v5e); the XLA engine
     elsewhere (the CPU test backend would run the kernel in the slow
     Pallas interpreter — engine-parametrized tests cover it explicitly)."""

@@ -104,7 +104,7 @@ _ROLL_BELOW = {"f32": 8, "df64r": 8, "df64": 8, "df40": 8}
 # sweeps — table caches key on plan shape, so these must not change after
 # first use in a process).
 if os.environ.get("LOWCUT_ROLL_BELOW_DF64"):
-    _ROLL_BELOW["df64r"] = _ROLL_BELOW["df64"] = int(
+    _ROLL_BELOW["df64r"] = _ROLL_BELOW["df64"] = _ROLL_BELOW["df40"] = int(
         os.environ["LOWCUT_ROLL_BELOW_DF64"])
 if os.environ.get("LOWCUT_ROLL_BELOW_F32"):
     _ROLL_BELOW["f32"] = int(os.environ["LOWCUT_ROLL_BELOW_F32"])

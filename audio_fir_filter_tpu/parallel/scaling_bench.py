@@ -39,10 +39,10 @@ import numpy as np
 FS = 96000.0
 FREQ, SLOPE = 15.0, 10.0
 # v5e-class single-chip rate measured by bench.py (used only to convert
-# the analytic model's per-sample compute cost into seconds). Round-3
-# headline: 2.48 Gs/s high; the FAST path (8.27 Gs/s) is the stress case
-# for halo cost, so the model is run at both.
-CHIP_RATE = 2.48e9
+# the analytic model's per-sample compute cost into seconds). Round-4
+# headline: 2.93 Gs/s high (df40); the FAST path (8.27 Gs/s) is the halo-
+# cost stress case, so the model is run at both.
+CHIP_RATE = 2.93e9
 CHIP_RATE_FAST = 8.27e9
 ICI_BW = 4.5e10     # B/s per one-way neighbor link (v5e-class)
 DCN_BW = 6.25e9     # B/s per host boundary (conservative NIC share)

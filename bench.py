@@ -375,12 +375,24 @@ def e2e_report(log, hours: float = 1.0, device_seconds: float = 30.0) -> None:
         bound = max(t_read, t_enc)
         log(f"  overlapped whole-tool bound: {bound:.1f}s = "
             f"{hours * 3600 / bound:.0f}x realtime on this disk "
-            f"(the 2.48 Gs/s chip filters the hour in "
-            f"{samples / 2.48e9:.2f}s; at production NVMe rates the codec "
+            f"(the 2.93 Gs/s chip filters the hour in "
+            f"{samples / 2.93e9:.2f}s; at production NVMe rates the codec "
             f"stage, ~{samples / max(t_enc, 1e-9) / 1e6:.0f} Ms/s here "
             f"disk-included, converges toward its in-memory rate — "
             f"0.46/0.69 Gs/s per core encode/decode at 24-bit, fanned "
             f"out over 0.7 x cores)")
+        # Host residency at 1-h scale: since round 4 the streaming filter
+        # holds input + output + O(segment) staging only (~2x payload; the
+        # r3 full zero-padded input copy is gone, pipeline/stream.py).
+        # ru_maxrss here covers the codec stages above (input + raw bytes).
+        import resource
+        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+        payload = data.samples.nbytes
+        log(f"  host residency: peak RSS {rss / 1e9:.2f} GB over the codec "
+            f"stages ({rss / payload:.2f}x the {payload / 1e9:.2f} GB f32 "
+            f"payload); the streaming filter adds out + O(segment) staging "
+            f"only (<= 2x payload + segments, tracemalloc-gated in "
+            f"tests/test_pipeline.py::test_streamed_host_residency...)")
         del data
 
         if device_seconds <= 0:
