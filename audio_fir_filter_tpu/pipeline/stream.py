@@ -97,9 +97,9 @@ def filter_array_streamed(
         yj, pj = osv.extended_filter_peak(xe, plan, seg)  # async dispatch
         pending.append((yj, pj, s, e))
         if len(pending) >= 2:  # keep one segment in flight
-            peak = max(peak, _drain(pending.pop(0), out, c, n, progress_cb))
+            peak = max(peak, _drain(pending.pop(0), out, c, progress_cb))
     while pending:
-        peak = max(peak, _drain(pending.pop(0), out, c, n, progress_cb))
+        peak = max(peak, _drain(pending.pop(0), out, c, progress_cb))
     return out, peak
 
 
@@ -114,7 +114,7 @@ def _edge_slice(x: np.ndarray, g0: int, g1: int) -> np.ndarray:
     return buf
 
 
-def _drain(item, out, c, n, progress_cb):
+def _drain(item, out, c, progress_cb):
     yj, pj, s, e = item
     if e - s < np.shape(yj)[1]:
         # Final partial segment: the device peak covered pad-tail columns

@@ -290,10 +290,16 @@ def fidelity_report(freq: float, slope: float, fs: float, precision: str,
     err24 = oracle.max_lsb_error(y, want, bits=24)
     err16 = oracle.max_lsb_error(y, want, bits=16)
     peak = float(np.abs(want).max())
+    # The gate depth matches the precision's PROMISE (the auto policy,
+    # utils/options.resolve_precision): "high" serves >16-bit outputs and
+    # gates at 24-bit; "fast" serves <=16-bit PCM and gates at 16-bit.
+    gate_bits = 24 if precision == "high" else 16
+    gate_err = err24 if gate_bits == 24 else err16
     log(f"fidelity vs float64 oracle: max err {err24:.3f} LSB @ 24-bit "
         f"({err16:.5f} LSB @ 16-bit), output peak {peak:.3f} "
-        f"-> gate (<= 1.0 @ 24-bit): {'PASS' if err24 <= 1.0 else 'FAIL'}")
-    return err24
+        f"-> gate (<= 1.0 @ {gate_bits}-bit): "
+        f"{'PASS' if gate_err <= 1.0 else 'FAIL'}")
+    return gate_err, gate_bits
 
 
 def e2e_report(log, hours: float = 1.0, device_seconds: float = 30.0) -> None:
@@ -341,11 +347,19 @@ def e2e_report(log, hours: float = 1.0, device_seconds: float = 30.0) -> None:
         log(f"e2e: synthesizing {hours:g} h 96 kHz stereo 24-bit WAV "
             f"({n} frames, {n * 6 / 1e9:.2f} GB data chunk)")
         t0 = time.perf_counter()
-        t = np.arange(n, dtype=np.float64) / fs
-        x = (0.4 * np.sin(2 * np.pi * 220.0 * t)
-             + 0.2 * np.sin(2 * np.pi * 4.0 * t)).astype(np.float32)
-        xs = np.stack([x, 0.7 * x])
-        del x, t
+        # Chunked synthesis: the f64 intermediates of a whole-hour
+        # np.arange/sin chain alone were ~8 GB RSS (round-4 e2e measured
+        # 11.2 GB peak, dominated by this harness stage, not the tool);
+        # 2^24-frame chunks keep the transient under ~0.4 GB.
+        xs = np.empty((2, n), np.float32)
+        for s0 in range(0, n, 1 << 24):
+            s1 = min(n, s0 + (1 << 24))
+            t = np.arange(s0, s1, dtype=np.float64) / fs
+            c = (0.4 * np.sin(2 * np.pi * 220.0 * t)
+                 + 0.2 * np.sin(2 * np.pi * 4.0 * t)).astype(np.float32)
+            xs[0, s0:s1] = c
+            xs[1, s0:s1] = 0.7 * c
+        del t, c
         t_gen = time.perf_counter() - t0
         t0 = time.perf_counter()
         synth.create_audio_file(f"{tmp}/full.wav", xs, fs,
@@ -388,10 +402,11 @@ def e2e_report(log, hours: float = 1.0, device_seconds: float = 30.0) -> None:
         import resource
         rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
         payload = data.samples.nbytes
-        log(f"  host residency: peak RSS {rss / 1e9:.2f} GB over the codec "
-            f"stages ({rss / payload:.2f}x the {payload / 1e9:.2f} GB f32 "
-            f"payload); the streaming filter adds out + O(segment) staging "
-            f"only (<= 2x payload + segments, tracemalloc-gated in "
+        log(f"  host residency: peak RSS {rss / 1e9:.2f} GB over the "
+            f"synthesize+codec stages ({rss / payload:.2f}x the "
+            f"{payload / 1e9:.2f} GB f32 payload — harness-side; the TOOL's "
+            f"streaming filter holds input + output + O(segment) staging, "
+            f"<= 2x payload, tracemalloc-gated in "
             f"tests/test_pipeline.py::test_streamed_host_residency...)")
         del data
 
@@ -489,9 +504,9 @@ def main() -> int:
     fs = args.sample_rate
     fidelity_err = None
     if args.fidelity:
-        fidelity_err = fidelity_report(args.freq, args.slope, fs,
-                                       args.precision, args.block_size,
-                                       args.engine)
+        fidelity_err, fidelity_bits = fidelity_report(
+            args.freq, args.slope, fs, args.precision, args.block_size,
+            args.engine)
 
     res = measure_chip_rate(args.freq, args.slope, fs, args.channels,
                             args.precision, args.block_size,
@@ -525,7 +540,8 @@ def main() -> int:
     }
     print(json.dumps(result))
     if fidelity_err is not None and fidelity_err > 1.0:
-        log(f"FIDELITY GATE FAILED: {fidelity_err:.3f} > 1.0 LSB @ 24-bit")
+        log(f"FIDELITY GATE FAILED: {fidelity_err:.3f} > 1.0 LSB "
+            f"@ {fidelity_bits}-bit")
         return 1
     return 0
 
