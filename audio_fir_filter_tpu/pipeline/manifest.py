@@ -72,10 +72,14 @@ class BatchManifest:
 def options_fingerprint(opts) -> str:
     """Stable fingerprint of the output-relevant options: resuming with
     different filter settings must not skip files. Includes ``engine``
-    because engines produce bit-different float32 roundings — a resume
-    that flips the engine must not mix outputs in one batch directory."""
+    and the kernel-arith tuning knobs because engines/ariths produce
+    bit-different float32 roundings — a resume that flips either must not
+    mix outputs in one batch directory."""
+    knobs = [os.environ.get(k) for k in (
+        "LOWCUT_HIGH_KERNEL_ARITH", "LOWCUT_KERNEL_BASE_PLAN",
+        "LOWCUT_ROLL_BELOW_DF64", "LOWCUT_ROLL_BELOW_F32")]
     return json.dumps(
         [opts.filter_type, opts.freq, opts.freq_hi, opts.slope,
          opts.normalize, opts.precision, opts.block_size,
-         getattr(opts, "engine", "auto")]
+         getattr(opts, "engine", "auto"), knobs]
     )
