@@ -317,4 +317,19 @@ def normalize(samples: np.ndarray) -> np.ndarray:
     peak = float(np.max(np.abs(samples))) if samples.size else 0.0
     if peak == 0.0:
         return samples
-    return (samples.astype(np.float32) * np.float32(1.0 / peak)).astype(np.float32)
+    # Copy first: normalize never mutates its input (scale_common does).
+    return scale_common(np.array(samples, np.float32), peak)
+
+
+def scale_common(samples: np.ndarray, peak: float) -> np.ndarray:
+    """Known-peak form of :func:`normalize`: apply the one common factor
+    1/peak, IN PLACE when the array is writable — callers own the array
+    (the pipeline's peak comes back from the device fused into the filter
+    program, so no max pass runs here). peak <= 0 is a no-op (silence)."""
+    if peak <= 0.0:
+        return np.asarray(samples, np.float32)
+    samples = np.asarray(samples, np.float32)
+    if not samples.flags.writeable:  # e.g. a device-backed view
+        samples = samples.copy()
+    samples *= np.float32(1.0 / peak)
+    return samples

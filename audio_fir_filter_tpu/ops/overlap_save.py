@@ -307,6 +307,26 @@ def extended_filter(xe, plan: OverlapSavePlan, out_len: int) -> jax.Array:
     return y[0] if squeeze else y
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def _same_filter_peak_jit(x, plan_static, H):
+    y = _same_filter_impl(x, plan_static, H)
+    peak = jnp.max(jnp.abs(y)) if y.size else jnp.float32(0)
+    return y, peak
+
+
+def same_filter_peak(x, plan: OverlapSavePlan):
+    """:func:`same_filter` that also returns the output's |max| peak,
+    reduced on device — the single-segment analog of
+    :func:`extended_filter_peak` (edge zero-padding stays ON DEVICE, no
+    host-side padded staging copy)."""
+    x = jnp.asarray(x, dtype=jnp.float32)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None, :]
+    y, peak = _same_filter_peak_jit(x, plan.static, plan.H)
+    return (y[0] if squeeze else y), peak
+
+
 @functools.partial(jax.jit, static_argnums=(1, 3))
 def _extended_filter_peak_jit(xe, plan_static, H, out_len):
     t = plan_static[0]

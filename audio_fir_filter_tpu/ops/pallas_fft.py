@@ -38,13 +38,15 @@ formulation (fft_core.dif_stage), so the host float64 mirror
 ``fft_core.dif_fft_np(x, plan)`` validates them directly.
 
 Precision: for the "high" path the in-kernel arithmetic is the RELAXED
-double-float variant with PRESPLIT constant tables
-(fft_core.ARITH_DF64_RELAXED — unnormalized intermediates and
-host-precomputed Dekker splits of every twiddle/spectrum table, ~96 ->
-~70 f32 flops per complex constant-multiply; error analysis at
-df64.add_relaxed / cmul_const_relaxed). The kernel is VPU-bound, so
-unlike the HBM-bound XLA engine these flop cuts convert to time. Same
-oracle gates as every engine.
+double-float variant with 12-BIT-SPLIT constant tables
+(fft_core.ARITH_DF40, round-4 default — unnormalized intermediates and
+host-quantized 12-bit constant halves making both value-half products
+error-free, ~96 -> ~70 -> ~54 f32 flops per complex constant-multiply
+across the plain/presplit/12-bit generations; error analysis at
+df64.add_relaxed / cmul_const12_relaxed; df64r selectable via
+LOWCUT_HIGH_KERNEL_ARITH). The kernel is VPU-bound, so unlike the
+HBM-bound XLA engine these flop cuts convert to time. Same oracle gates
+as every engine.
 
 STATUS: measured numbers live in experiments/fused_ab.py runs recorded
 in the commit log; at the all-roll/no-presplit baseline the kernel ran
@@ -496,6 +498,27 @@ def _call_fused(cc, r: int, c: int, karith, interpret, *, grid, x_in,
     )(x_in, *cleaves)
 
 
+def segment_path_qualifies(num_taps: int, b: int,
+                           interpret: bool | None = None) -> bool:
+    """Whether :func:`pallas_segment_filter` would take the fused path for
+    this (kernel, block) shape. Tests and the driver dryrun use this to
+    PIN which kernel path a case covers instead of asserting it in a
+    comment (a round-4 review found two such comments gone stale when the
+    framing gate widened). Decline conditions: even tap count (odd M —
+    the framing needs 2*Mo2 == M), kernel too long for the block
+    (hop would be <= 0), or sub-Mosaic-tile shapes on real TPU."""
+    if interpret is None:
+        interpret = _use_interpret()
+    r, c = fc.fourstep_split(b)
+    m = num_taps - 1
+    if m % 2:
+        return False
+    mr = -(-m // c)
+    if ((b - mr * c) // (8 * c)) * (8 * c) <= 0:
+        return False
+    return interpret or (c >= 128 and r >= 8)
+
+
 def pallas_segment_filter(x: jnp.ndarray, num_taps: int, b: int, H2,
                           arith=ARITH_DF64, interpret: bool | None = None):
     """Whole-segment fused path: overlap-save filtering of [C, N] in ONE
@@ -507,8 +530,10 @@ def pallas_segment_filter(x: jnp.ndarray, num_taps: int, b: int, H2,
     one hop — starts on an 8-row (sublane-tile) boundary of the
     [C, rows, c] signal view; Mosaic requires provably tile-aligned DMA
     offsets. The alias skip is likewise rounded up to whole rows, so the
-    path applies to ANY kernel length (see the mr/delta derivation in the
-    body).
+    path applies to any ODD-length (type-I) kernel — see the mr/delta
+    derivation in the body; even-length kernels (odd M, no integer Mo2
+    with 2*Mo2 == M) are declined, as everywhere in the engine
+    (overlap_save.make_plan rejects them).
     Grid step (ch, k) covers real blocks 2k and 2k+1 of channel ch: ONE
     merged DMA fetches rows [2k*hr, 2k*hr + r + hr) of the [C, rows, c]
     view (the union of both overlapping windows — the hop-offset second
@@ -526,6 +551,8 @@ def pallas_segment_filter(x: jnp.ndarray, num_taps: int, b: int, H2,
     """
     if interpret is None:
         interpret = _use_interpret()
+    if not segment_path_qualifies(num_taps, b, interpret):
+        return None
     ch_n, n = x.shape
     r, c = fc.fourstep_split(b)
     karith = _kernel_arith(arith)
@@ -535,18 +562,14 @@ def pallas_segment_filter(x: jnp.ndarray, num_taps: int, b: int, H2,
     # (mr = ceil(M / c)): positions [M', B) with M' = mr*c >= M are a
     # subset of the alias-free region, so discarding the extra
     # delta = M' - M valid positions per block (< c, i.e. <= 0.4% of the
-    # hop at production shapes) buys row-aligned writes for ANY kernel
-    # length. Round-4 fix: the previous `m % c == 0` gate silently pushed
+    # hop at production shapes) buys row-aligned writes for any odd-length
+    # kernel. Round-4 fix: the previous `m % c == 0` gate silently pushed
     # every 44.1 kHz config (M = 17,640, never divisible by c) onto the
     # generic block path and its extra gather/unfold HBM passes — the
     # round-3 cfg1/cfg3 2-4x shortfall.
     mr = -(-m // c)                    # alias-skip rows (ceil)
     delta = mr * c - m
     hp = ((b - mr * c) // (8 * c)) * (8 * c)
-    if hp <= 0:
-        return None
-    if not interpret and (c < 128 or r < 8):
-        return None
     hr = hp // c                       # valid rows per block
     nb = -(-n // hp)
     nb += nb & 1                       # two real blocks per complex FFT

@@ -106,19 +106,22 @@ def _sharded_filter_jit(x, plan_static, H, normalize_flag, mesh,
     edge_spec = P(DATA_AXIS, None)
     in_specs = (spec_x, P(), P()) + ((edge_spec, edge_spec) if with_edges
                                      else ())
-    # check_vma stays on for the XLA engines; the Pallas engine disables it
-    # because JAX's pallas HLO interpreter (the CPU test path) drops vma on
-    # its internal scan carries ("Scan carry input and output got mismatched
-    # varying manual axes ... as a temporary workaround pass check_vma=False",
-    # jax 0.9.0). The kernel itself declares/pvaries vma correctly
-    # (ops/pallas_fft._call_fused), so this can be re-enabled when the
-    # interpreter bug is fixed.
+    # check_vma stays on for the XLA engines AND for the pallas engine on
+    # real TPU (the kernel declares/pvaries vma itself,
+    # ops/pallas_fft._call_fused, and the check protects future operands).
+    # Only pallas-on-CPU disables it: JAX's pallas HLO interpreter (the
+    # CPU test path) drops vma on its internal scan carries ("Scan carry
+    # input and output got mismatched varying manual axes ... as a
+    # temporary workaround pass check_vma=False", jax 0.9.0). Re-unify
+    # when the interpreter bug is fixed.
+    pallas_interpreted = (plan_static[3] == "pallas"
+                         and jax.devices()[0].platform != "tpu")
     fn = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=in_specs,
         out_specs=(spec_x, P()),
-        check_vma=plan_static[3] != "pallas",
+        check_vma=not pallas_interpreted,
     )
     args = (x, H, normalize_flag)
     if with_edges:

@@ -170,9 +170,7 @@ def run_batch(inputs, dest_dir, opts: FilterOptions, *,
             t0 = time.perf_counter()
             if (max_mag > 1.0 or opts.normalize) and max_mag > 0.0:
                 show_status("Doing audio normalize.")
-                if not filtered.flags.writeable:
-                    filtered = filtered.copy()
-                filtered *= np.float32(1.0 / max_mag)
+                filtered = audio.scale_common(filtered, max_mag)
             metrics["normalize"] = time.perf_counter() - t0
 
             metrics.update(frames=data.num_frames, channels=data.num_channels,

@@ -102,9 +102,7 @@ def process_file(input_path, output_path, opts: FilterOptions,
     t0 = time.perf_counter()
     if (max_mag > 1.0 or opts.normalize) and max_mag > 0.0:
         show_status("Doing audio normalize.")
-        if not filtered.flags.writeable:  # device-backed view (short files)
-            filtered = filtered.copy()
-        filtered *= np.float32(1.0 / max_mag)
+        filtered = audio.scale_common(filtered, max_mag)
     t["normalize"] = time.perf_counter() - t0
 
     show_status("Writing output file.")

@@ -76,8 +76,9 @@ def filter_array_streamed(
         return x.astype(np.float32), 0.0
     seg = segment_len or default_segment_len(plan, channels=c)
     if n <= seg:
-        y, peak = osv.extended_filter_peak(
-            _edge_slice(x, -plan.mo2, n + plan.mo2), plan, n)
+        # Single segment: edge zero-padding stays on device (no host
+        # staging copy at all for the whole-file-fits case).
+        y, peak = osv.same_filter_peak(x, plan)
         y = np.asarray(y)
         if progress_cb:
             progress_cb(c * n)

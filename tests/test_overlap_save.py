@@ -184,3 +184,23 @@ def test_pallas_segment_path_matches_oracle_and_falls_back():
                                    num_taps=1000, b=1024, H2=None,
                                    arith=fc.ARITH_DF64)
     assert got is None
+
+
+def test_pallas_segment_path_declines_even_tap_count():
+    """Even tap counts (odd M) have no integer Mo2 with 2*Mo2 == M; the
+    fused segment framing would return output advanced by one sample
+    (round-4 review finding). The exported function must decline cleanly
+    — make_plan already rejects such kernels, but direct callers must
+    never get silently time-shifted audio."""
+    import jax.numpy as jnp
+
+    from audio_fir_filter_tpu.ops import fft_core as fc
+    from audio_fir_filter_tpu.ops import pallas_fft as pf
+
+    assert not pf.segment_path_qualifies(40, 256, interpret=True)
+    got = pf.pallas_segment_filter(jnp.zeros((1, 500), jnp.float32),
+                                   num_taps=40, b=256, H2=None,
+                                   arith=fc.ARITH_F32, interpret=True)
+    assert got is None
+    # Odd tap counts at the same shape do qualify.
+    assert pf.segment_path_qualifies(41, 256, interpret=True)
