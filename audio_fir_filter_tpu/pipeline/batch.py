@@ -40,8 +40,6 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
-import numpy as np
-
 from .. import audio
 from ..models import make_model
 from ..utils.errors import FileExists

@@ -31,8 +31,6 @@ from __future__ import annotations
 import sys
 import time
 
-import numpy as np
-
 from .. import audio
 from ..models import make_model
 from ..utils.options import FilterOptions, resolve_precision
