@@ -241,3 +241,20 @@ def test_sharded_pallas_engine_edge_halos_and_normalize():
                                 bits=24) <= 2.0
     yn, _ = sharded_filter(x, plan, mesh, normalize=True)
     assert np.isclose(np.max(np.abs(np.asarray(yn))), 1.0, atol=1e-5)
+
+
+def test_sharded_streamed_pallas_engine():
+    """The full production multi-chip path in one test: host segment
+    streaming (edge-halo chaining) over shard_map (ppermute halos) running
+    the PALLAS engine — i.e. exactly what `--mesh DxT` does on a pod for
+    a long file."""
+    from audio_fir_filter_tpu.pipeline.stream import sharded_filter_streamed
+
+    taps, x = _pallas_case(193)
+    plan = osv.make_plan(taps, precision=osv.HIGH, block_size=1024,
+                         engine="pallas")
+    mesh = make_mesh((1, 4))
+    y, peak = sharded_filter_streamed(x, plan, mesh, segment_len=2048)
+    ref = np.stack([oracle.direct_filter(x[c], taps) for c in range(2)])
+    assert oracle.max_lsb_error(y, ref, bits=24) <= 2.0
+    assert np.isclose(peak, np.max(np.abs(ref)), rtol=1e-5)
