@@ -1,7 +1,7 @@
 from .chunks import (Chunk, Container, parse_container,
                      serialize_container, write_container)
 from .format import AudioFormat, Encoding
-from .file import AudioData, read_audio, write_audio, normalize, scale_common
+from .file import AudioData, read_audio, write_audio, normalize
 
 __all__ = [
     "Chunk",
@@ -15,5 +15,4 @@ __all__ = [
     "read_audio",
     "write_audio",
     "normalize",
-    "scale_common",
 ]

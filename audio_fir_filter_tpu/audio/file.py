@@ -317,15 +317,17 @@ def normalize(samples: np.ndarray) -> np.ndarray:
     peak = float(np.max(np.abs(samples))) if samples.size else 0.0
     if peak == 0.0:
         return samples
-    # Copy first: normalize never mutates its input (scale_common does).
-    return scale_common(np.array(samples, np.float32), peak)
+    # Copy first: normalize never mutates its input (_scale_common does).
+    return _scale_common(np.array(samples, np.float32), peak)
 
 
-def scale_common(samples: np.ndarray, peak: float) -> np.ndarray:
+def _scale_common(samples: np.ndarray, peak: float) -> np.ndarray:
     """Known-peak form of :func:`normalize`: apply the one common factor
-    1/peak, IN PLACE when the array is writable — callers own the array
-    (the pipeline's peak comes back from the device fused into the filter
-    program, so no max pass runs here). peak <= 0 is a no-op (silence)."""
+    1/peak, IN PLACE when the array is writable — the pipeline callers own
+    the array (their peak comes back from the device fused into the filter
+    program, so no max pass runs here). Module-private because of that
+    in-place mutation: external callers should use :func:`normalize`.
+    peak <= 0 is a no-op (silence)."""
     if peak <= 0.0:
         return np.asarray(samples, np.float32)
     samples = np.asarray(samples, np.float32)

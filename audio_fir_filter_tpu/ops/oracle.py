@@ -94,3 +94,18 @@ def max_lsb_error(a: np.ndarray, b: np.ndarray, bits: int = 24) -> float:
     """Max |a-b| expressed in LSBs at the given bit depth (fidelity metric)."""
     return float(np.max(np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64)))
                  / quantization_lsb(bits))
+
+
+def max_scaled_lsb_error(a: np.ndarray, b: np.ndarray, bits: int = 24) -> float:
+    """Max |a-b| in LSBs at the given depth, RELATIVE to the output scale.
+
+    The engine's deterministic precision bound (fft_core._ArithDF40) is
+    ulp-relative: <= 1 f32 ulp of the output's binade. For output peaks in
+    [1, 2) one f32 ulp == one 24-bit LSB and this equals
+    :func:`max_lsb_error`; for peaks in [2, 4) the LSB unit doubles, so an
+    ulp-exact engine still measures <= 1 here where the absolute metric
+    would spuriously read 2. Peaks below full scale do NOT shrink the unit
+    (the gate never gets weaker than the absolute 1-LSB promise)."""
+    peak = float(np.max(np.abs(np.asarray(b, np.float64))))
+    scale = 2.0 ** np.floor(np.log2(peak)) if peak > 1.0 else 1.0
+    return max_lsb_error(a, b, bits) / max(1.0, scale)

@@ -498,6 +498,22 @@ def _call_fused(cc, r: int, c: int, karith, interpret, *, grid, x_in,
     )(x_in, *cleaves)
 
 
+def _segment_framing(m: int, b: int) -> tuple[int, int, int]:
+    """The fused segment path's framing for an M-point kernel at block
+    size b: ``(mr, delta, hp)`` where mr = alias-skip rows (ceil(M/c)),
+    delta = mr*c - M extra discarded positions, hp = the hop (largest
+    multiple of 8*c not above B - mr*c; <= 0 means the path declines).
+    Single source of truth for BOTH :func:`segment_path_qualifies` and
+    :func:`pallas_segment_filter` — the round-3 shape gap came from the
+    qualifier and the kernel carrying separately-edited copies of this
+    math."""
+    _, c = fc.fourstep_split(b)
+    mr = -(-m // c)                    # alias-skip rows (ceil)
+    delta = mr * c - m
+    hp = ((b - mr * c) // (8 * c)) * (8 * c)
+    return mr, delta, hp
+
+
 def segment_path_qualifies(num_taps: int, b: int,
                            interpret: bool | None = None) -> bool:
     """Whether :func:`pallas_segment_filter` would take the fused path for
@@ -513,8 +529,7 @@ def segment_path_qualifies(num_taps: int, b: int,
     m = num_taps - 1
     if m % 2:
         return False
-    mr = -(-m // c)
-    if ((b - mr * c) // (8 * c)) * (8 * c) <= 0:
+    if _segment_framing(m, b)[2] <= 0:
         return False
     return interpret or (c >= 128 and r >= 8)
 
@@ -567,9 +582,7 @@ def pallas_segment_filter(x: jnp.ndarray, num_taps: int, b: int, H2,
     # every 44.1 kHz config (M = 17,640, never divisible by c) onto the
     # generic block path and its extra gather/unfold HBM passes — the
     # round-3 cfg1/cfg3 2-4x shortfall.
-    mr = -(-m // c)                    # alias-skip rows (ceil)
-    delta = mr * c - m
-    hp = ((b - mr * c) // (8 * c)) * (8 * c)
+    mr, delta, hp = _segment_framing(m, b)
     hr = hp // c                       # valid rows per block
     nb = -(-n // hp)
     nb += nb & 1                       # two real blocks per complex FFT

@@ -41,6 +41,7 @@ from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 from .. import audio
+from ..audio.file import _scale_common
 from ..models import make_model
 from ..utils.errors import FileExists
 from ..utils.options import FilterOptions, resolve_precision
@@ -168,7 +169,7 @@ def run_batch(inputs, dest_dir, opts: FilterOptions, *,
             t0 = time.perf_counter()
             if (max_mag > 1.0 or opts.normalize) and max_mag > 0.0:
                 show_status("Doing audio normalize.")
-                filtered = audio.scale_common(filtered, max_mag)
+                filtered = _scale_common(filtered, max_mag)
             metrics["normalize"] = time.perf_counter() - t0
 
             metrics.update(frames=data.num_frames, channels=data.num_channels,

@@ -75,9 +75,14 @@ def options_fingerprint(opts) -> str:
     and the kernel-arith tuning knobs because engines/ariths produce
     bit-different float32 roundings — a resume that flips either must not
     mix outputs in one batch directory."""
-    knobs = [os.environ.get(k) for k in (
-        "LOWCUT_HIGH_KERNEL_ARITH", "LOWCUT_KERNEL_BASE_PLAN",
-        "LOWCUT_ROLL_BELOW_DF64", "LOWCUT_ROLL_BELOW_F32")]
+    # Normalized to EFFECTIVE values (import-time snapshot in pallas_fft),
+    # not raw env strings: explicitly setting a knob to its built-in
+    # default (e.g. LOWCUT_HIGH_KERNEL_ARITH=df40) fingerprints the same
+    # as leaving it unset, so a resume doesn't spuriously re-process
+    # bit-identical outputs.
+    from ..ops import pallas_fft as pf
+    knobs = [pf._HIGH_ARITH, pf._BASE_PLAN,
+             pf._ROLL_BELOW["df64"], pf._ROLL_BELOW["f32"]]
     return json.dumps(
         [opts.filter_type, opts.freq, opts.freq_hi, opts.slope,
          opts.normalize, opts.precision, opts.block_size,

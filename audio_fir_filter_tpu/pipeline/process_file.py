@@ -32,6 +32,7 @@ import sys
 import time
 
 from .. import audio
+from ..audio.file import _scale_common
 from ..models import make_model
 from ..utils.options import FilterOptions, resolve_precision
 from ..utils.progress import ProgressBar
@@ -100,7 +101,7 @@ def process_file(input_path, output_path, opts: FilterOptions,
     t0 = time.perf_counter()
     if (max_mag > 1.0 or opts.normalize) and max_mag > 0.0:
         show_status("Doing audio normalize.")
-        filtered = audio.scale_common(filtered, max_mag)
+        filtered = _scale_common(filtered, max_mag)
     t["normalize"] = time.perf_counter() - t0
 
     show_status("Writing output file.")

@@ -36,8 +36,11 @@ def default_segment_len(plan: osv.OverlapSavePlan, target: int = 1 << 26,
     # of one conv_chunk) scales linearly with channels, so the target is
     # divided by channels/2 to hold the TOTAL device+host budget constant
     # for high-channel-count files (a 16-ch file gets 1/8 the per-channel
-    # segment, same total samples per call as the stereo headline).
-    per_ch = max(1 << 22, target // max(1, channels // 2))
+    # segment, same total samples per call as the stereo headline). The
+    # divisor is non-truncating (2*target/channels) so ODD channel counts
+    # hold the same total budget: 3 ch gets 2/3 of the stereo per-channel
+    # segment, not the full one.
+    per_ch = max(1 << 22, 2 * target // max(2, channels))
     k = max(1, per_ch // plan.hop)
     ch = plan.conv_chunk
     nb = (k + 2) & ~1  # round_even(k + 1)

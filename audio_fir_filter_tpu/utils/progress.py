@@ -58,6 +58,16 @@ class ProgressBar:
         self._stream.write(f"\r[{bar}] {pct:.1f} %  ")
         self._stream.flush()
 
+    def set_progress(self, step: float) -> None:
+        """Set the absolute completed count and redraw immediately.
+
+        Public API for adapters that track their own counter (e.g.
+        :class:`ThreadSafeProgress`) rather than accumulating via
+        :meth:`update`."""
+        self._step = float(step)
+        self._counter = 0
+        self._draw()
+
     def final(self) -> None:
         # Reference prints a full bar with one extra '=' (ProgressBar.h:49-52).
         if not self._enabled:
@@ -75,7 +85,10 @@ class ThreadSafeProgress:
     Kept for API parity with the reference (ProgressBar.h:58-82) and used
     when multiple host I/O workers report concurrently. Batches reports and
     takes the lock only every ``max(total/100, 1000)`` units, matching the
-    reference's contention-avoidance rule (ProgressBar.h:63).
+    reference's contention-avoidance rule (ProgressBar.h:63). One lock is
+    held across the counter update AND the redraw (as the reference holds
+    its mutex across the whole refresh, ProgressBar.h:70-79), so an
+    interleaved reporter can never draw a stale total.
     """
 
     def __init__(self, bar: ProgressBar, total: int):
@@ -89,9 +102,6 @@ class ThreadSafeProgress:
         with self._lock:
             old = self._counter
             self._counter = new = old + count
-        if (new // self._report_interval) > (old // self._report_interval) or new >= self._total:
-            with self._lock:
-                self._bar.update(count)
-                # keep bar's internal step consistent with the true counter
-                self._bar._step = float(new)
-                self._bar._draw()
+            if ((new // self._report_interval) > (old // self._report_interval)
+                    or new >= self._total):
+                self._bar.set_progress(new)

@@ -50,6 +50,35 @@ def test_engine_matches_oracle(precision, bits):
     assert oracle.max_lsb_error(y, ref, bits=bits) <= tol
 
 
+def test_engine_ulp_relative_bound_above_full_scale():
+    """Output peaks in [2, 4): the precision promise is ULP-relative
+    (<= 1 f32 ulp of the output's binade, fft_core._ArithDF40), so the
+    scaled-LSB metric must stay bounded while the absolute metric doubles
+    with the binade. Guards the gate against spuriously failing (or
+    silently weakening) with signal scale — round-4 verdict item 5."""
+    x, ws = make_case(n=6000, seed=11)
+    x = np.float32(2.4) * x  # drives the filtered peak into [2, 4)
+    plan = osv.make_plan(ws.taps, precision=osv.HIGH, block_size=1024)
+    y = np.asarray(osv.same_filter(x, plan))
+    ref = oracle.direct_filter(x, ws.taps)
+    peak = float(np.abs(ref).max())
+    assert 2.0 <= peak < 4.0, peak
+    scaled = oracle.max_scaled_lsb_error(y, ref, bits=24)
+    assert scaled <= high_tol_lsb24()
+    # The scaled metric is exactly the absolute one divided by the binade.
+    assert scaled == pytest.approx(
+        oracle.max_lsb_error(y, ref, bits=24) / 2.0)
+
+
+def test_scaled_lsb_metric_never_weaker_below_full_scale():
+    """Sub-full-scale outputs keep the ABSOLUTE unit: quiet signals do not
+    get a laxer gate."""
+    a = np.float32([0.25 + 2.0 ** -23])
+    b = np.float64([0.25])
+    assert oracle.max_scaled_lsb_error(a, b, bits=24) == pytest.approx(
+        oracle.max_lsb_error(a, b, bits=24))
+
+
 @pytest.mark.parametrize("n", [100, 823, 824, 825, 5000])
 def test_engine_lengths_and_edges(n):
     """Lengths around block boundaries (hop=824 at B=1024, T=201);
