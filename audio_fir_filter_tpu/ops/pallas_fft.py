@@ -121,6 +121,30 @@ if os.environ.get("LOWCUT_ROLL_BELOW_F32"):
 # Ms/s, commit 703bba4).
 _BASE_PLAN = os.environ.get("LOWCUT_KERNEL_BASE_PLAN", "r8")
 
+# EXPERIMENT-ONLY ablation set (comma-separated): selectively disables
+# pieces of the fused kernel so perf experiments can decompose its time
+# on hardware while timing the REAL code path (not a copy that drifts).
+# Outputs are numerically WRONG under any ablation — never set in
+# production; the oracle gates catch accidents. Recognized tokens:
+#   dma      skip the segment prologue's window DMA (read stale scratch)
+#   tr       straight plane copy instead of the [r,c]<->[c,r] transpose
+#            (requires r == c; isolates the relayout cost vs a copy)
+#   fft      skip all butterfly stages (phases become pack/mul/store)
+#   mul      skip the T / H / conj-T / 1/B constant multiplies
+#   rolls    skip roll stages only
+#   strided  skip strided stages only
+#   phaseb   skip phase B's arithmetic (tile load/store kept)
+_ABLATE = frozenset(
+    t for t in os.environ.get("LOWCUT_ABLATE", "").split(",") if t)
+_ABLATE_KNOWN = {"dma", "tr", "fft", "mul", "rolls", "strided", "phaseb"}
+if not _ABLATE <= _ABLATE_KNOWN:
+    raise ValueError(f"unknown LOWCUT_ABLATE tokens {_ABLATE - _ABLATE_KNOWN}")
+
+
+def _abl(token: str) -> bool:
+    return token in _ABLATE
+
+
 # Footgun guard: the knobs above are read ONCE at import and baked into
 # lru_cached tables keyed only on (n, arith_name); changing the env after
 # first use would silently mix plans and corrupt spectra. Snapshot what
@@ -131,6 +155,7 @@ _KNOBS_AT_IMPORT = {
     "LOWCUT_KERNEL_BASE_PLAN": os.environ.get("LOWCUT_KERNEL_BASE_PLAN"),
     "LOWCUT_LANE_TILE": os.environ.get("LOWCUT_LANE_TILE"),
     "LOWCUT_HIGH_KERNEL_ARITH": os.environ.get("LOWCUT_HIGH_KERNEL_ARITH"),
+    "LOWCUT_ABLATE": os.environ.get("LOWCUT_ABLATE"),
 }
 
 

@@ -111,6 +111,152 @@ def run_scaling(log) -> None:
         eff = row["rate"] / base
         log(f"  T={row['t']}: {row['rate']/1e6:8.1f} Ms/s  "
             f"(vs T=1: {eff:.3f}; flat is ideal on one host)")
+    run_cross_process(log)
+
+
+def run_cross_process(log) -> None:
+    """MEASURED cross-process sharded timing (round-4 verdict missing #2):
+    2 real ``jax.distributed`` processes (gloo, 1 CPU device each) run
+    (a) the production halo exchange in isolation — netting out dispatch
+    via a no-collective twin — and (b) a timed 2-process
+    ``sharded_filter``; a 1-process child with the same per-shard span
+    gives the weak-scaling baseline. The measured per-exchange halo cost
+    then replaces the ASSUMED link constant in :func:`halo_cost_model`'s
+    efficiency formula ("measured cross-process" rows below).
+
+    Caveats, stated with the numbers: gloo-over-localhost latency is a
+    conservative stand-in for DCN (a real NIC path has dedicated
+    hardware), and the 2-core dev VM oversubscribes two XLA host thread
+    pools, so the end-to-end efficiency number carries host contention
+    that a pod would not see. The halo LATENCY extraction is the
+    calibrated quantity."""
+    port = "53921"
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=1")
+    cwd = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    args = [sys.executable, "-m",
+            "audio_fir_filter_tpu.parallel.scaling_bench", "--xproc"]
+    procs = [subprocess.Popen(args + [str(pid), "2", port],
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.PIPE, text=True, cwd=cwd)
+             for pid in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        if p.returncode != 0:
+            log(f"  cross-process child failed rc={p.returncode}: "
+                f"{err[-500:]}")
+            return
+        outs.append(out)
+    row = json.loads(outs[0].strip().splitlines()[-1])
+
+    base = subprocess.run(args + ["0", "1", port], env=env,
+                          capture_output=True, text=True, cwd=cwd,
+                          timeout=600)
+    if base.returncode != 0:
+        log(f"  single-process baseline failed rc={base.returncode}")
+        return
+    brow = json.loads(base.stdout.strip().splitlines()[-1])
+
+    halo_net = max(row["halo_ms"] - row["nocomm_ms"], 0.0) * 1e-3
+    halo_bytes = 2 * 2 * row["mo2"] * 4.0  # 2 directions x [2ch, Mo2] f32
+    log("measured cross-process sharded run (2 jax.distributed gloo "
+        "processes, 1 CPU device each, localhost):")
+    log(f"  halo exchange (production _halo_exchange, Mo2={row['mo2']}): "
+        f"{row['halo_ms']:.3f} ms/call vs no-collective twin "
+        f"{row['nocomm_ms']:.3f} ms -> net {halo_net*1e3:.3f} ms "
+        f"({halo_bytes/1e3:.0f} KB payload, "
+        f"{halo_bytes/max(halo_net,1e-9)/1e6:.1f} MB/s effective)")
+    log(f"  sharded_filter 2-process: {row['filter_rate']/1e6:.1f} Ms/s "
+        f"global ({row['span']} frames/shard); 1-process same-span "
+        f"baseline {brow['filter_rate']/1e6:.1f} Ms/s -> weak-scaling "
+        f"eff {row['filter_rate']/(2*brow['filter_rate']):.3f} "
+        f"(2-core VM: both XLA pools contend for the same cores — "
+        f"structural check, not a pod prediction)")
+    from ..ops import kernel_design as kd
+    m = kd.kernel_length(SLOPE / FS)
+    n = int(3600 * FS)
+    log("  halo_cost_model rows with the MEASURED per-exchange cost "
+        "(replaces the assumed DCN constant; zero overlap):")
+    for label, rate in (("high", CHIP_RATE), ("fast", CHIP_RATE_FAST)):
+        t_comp = 2 * (n // 2) / rate
+        eff = t_comp / (t_comp + halo_net)
+        log(f"    2 shards, {label} path ({rate/1e9:.2f} Gs/s): "
+            f"t_comp {t_comp*1e3:.1f} ms + measured halo "
+            f"{halo_net*1e3:.3f} ms -> eff {eff:.4f} "
+            f"({'PASS' if eff >= 0.80 else 'FAIL'} vs the >=0.80@2 gate)")
+
+
+def run_xproc_child(pid: int, nproc: int, port: str) -> None:
+    """Child for :func:`run_cross_process`: joins the gloo cluster and
+    times (a) the production halo exchange + a no-collective twin and
+    (b) sharded_filter, on the GLOBAL (1, nproc) mesh."""
+    import time
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    if nproc > 1:
+        jax.distributed.initialize(
+            coordinator_address=f"127.0.0.1:{port}",
+            num_processes=nproc, process_id=pid)
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..ops import kernel_design as kd
+    from ..ops import overlap_save as osv
+    from .mesh import TIME_AXIS, make_mesh
+    from .sharded_conv import _halo_exchange, sharded_filter
+
+    taps = kd.highpass_taps(FREQ / FS, kd.kernel_length(SLOPE / FS))
+    plan = osv.make_plan(taps, precision="fast")
+    mo2 = plan.mo2
+    t_shards = len(jax.devices())
+    mesh = make_mesh((1, t_shards))
+    c, span = 2, 1 << 20
+    n = t_shards * span
+    sh = NamedSharding(mesh, P(None, TIME_AXIS))
+    x = jax.make_array_from_callback(
+        (c, n), sh,
+        lambda idx: np.linspace(-0.5, 0.5, c * span, dtype=np.float32)
+        .reshape(c, span))
+
+    def shmap(body):
+        return jax.jit(jax.shard_map(
+            body, mesh=mesh, in_specs=P(None, TIME_AXIS),
+            out_specs=P(None, TIME_AXIS)))
+
+    def halo_body(xl):
+        # The received halos must feed the OUTPUT, else XLA dead-code-
+        # eliminates the ppermutes and we time nothing.
+        xe = _halo_exchange(xl, mo2, TIME_AXIS)
+        return xl + xe[:, :1] + xe[:, -1:]
+
+    halo_only = shmap(halo_body)
+    no_comm = shmap(lambda xl: xl + xl[:, :1] + xl[:, -1:])
+
+    def timeit(fn, reps):
+        y = fn(x)
+        jax.block_until_ready(y)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            y = fn(x)
+        jax.block_until_ready(y)
+        return (time.perf_counter() - t0) / reps
+
+    halo_ms = timeit(halo_only, 30) * 1e3
+    nocomm_ms = timeit(no_comm, 30) * 1e3
+
+    def filt(xg):
+        y, _ = sharded_filter(xg, plan, mesh)
+        return y
+
+    dt = timeit(filt, 3)
+    print(json.dumps({"pid": pid, "mo2": mo2, "span": span,
+                      "halo_ms": halo_ms, "nocomm_ms": nocomm_ms,
+                      "filter_rate": c * n / dt}), flush=True)
 
 
 def run_child() -> None:
@@ -149,4 +295,7 @@ def run_child() -> None:
 
 
 if __name__ == "__main__":
-    run_child()
+    if len(sys.argv) > 1 and sys.argv[1] == "--xproc":
+        run_xproc_child(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    else:
+        run_child()
