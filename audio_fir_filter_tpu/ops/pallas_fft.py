@@ -134,9 +134,17 @@ _BASE_PLAN = os.environ.get("LOWCUT_KERNEL_BASE_PLAN", "r8")
 #   rolls    skip roll stages only
 #   strided  skip strided stages only
 #   phaseb   skip phase B's arithmetic (tile load/store kept)
+#   out8     write only 8 output rows per tile (isolates the big store)
+#   alignedsrc  write from tile rows [0:hr) instead of [mr:mr+hr)
+#            (same traffic, sublane-ALIGNED source — isolates the
+#            misaligned-slice relayout in the segment path's writeback)
+#   noreadx  phase A reads zero tiles instead of the input
+#   nostores phases skip their zA/zB scratch stores
+#   noloads  phases load zero tiles instead of zA/zB scratch
 _ABLATE = frozenset(
     t for t in os.environ.get("LOWCUT_ABLATE", "").split(",") if t)
-_ABLATE_KNOWN = {"dma", "tr", "fft", "mul", "rolls", "strided", "phaseb"}
+_ABLATE_KNOWN = {"dma", "tr", "fft", "mul", "rolls", "strided", "phaseb",
+                 "out8", "alignedsrc", "noreadx", "nostores", "noloads"}
 if not _ABLATE <= _ABLATE_KNOWN:
     raise ValueError(f"unknown LOWCUT_ABLATE tokens {_ABLATE - _ABLATE_KNOWN}")
 
@@ -338,10 +346,13 @@ def _roll_stage_inv(z, d: int, w, n: int, arith):
 
 
 def _run_fwd(z, n: int, tabs, arith):
+    if _abl("fft"):
+        return z
     for (kind, d), w in zip(phase_plan(n, arith.name), tabs):
         if _is_roll(kind, d, arith.name):
-            z = _roll_stage_fwd(z, d, w, n, arith)
-        else:
+            if not _abl("rolls"):
+                z = _roll_stage_fwd(z, d, w, n, arith)
+        elif not _abl("strided"):
             z = fc.dif_stage(z, kind, d, w, arith)
     return z
 
@@ -349,11 +360,14 @@ def _run_fwd(z, n: int, tabs, arith):
 def _run_inv(z, n: int, tabs, arith):
     """Inverse stages (reversed plan), WITHOUT the 1/n scaling — the conv
     applies one combined 1/B at the end."""
+    if _abl("fft"):
+        return z
     for (kind, d), w in zip(reversed(phase_plan(n, arith.name)),
                             reversed(tabs)):
         if _is_roll(kind, d, arith.name):
-            z = _roll_stage_inv(z, d, w, n, arith)
-        else:
+            if not _abl("rolls"):
+                z = _roll_stage_inv(z, d, w, n, arith)
+        elif not _abl("strided"):
             z = fc.dit_stage(z, kind, d, w, arith)
     return z
 
@@ -441,12 +455,27 @@ def _call_fused(cc, r: int, c: int, karith, interpret, *, grid, x_in,
             xsrc = prologue(x_ref, *scratch)
 
         def store(ref, sl, z):
+            if _abl("nostores"):
+                return
             for k, leaf in enumerate(jax.tree.leaves(z)):
                 ref[k, :, sl] = leaf
 
         def load(ref, sl):
+            if _abl("noloads"):
+                rows = ref.shape[1]
+                lt = lt_r if ref.shape[1] == c else lt_c
+                return jax.tree.unflatten(
+                    zdef, [jnp.zeros((rows, lt), jnp.float32)
+                           for _ in range(nplanes)])
             return jax.tree.unflatten(
                 zdef, [ref[k, :, sl] for k in range(nplanes)])
+
+        if _abl("noreadx"):
+            def read_xz(src, sl, _orig=read_x):
+                return (jnp.zeros((r, lt_c), jnp.float32),
+                        jnp.zeros((r, lt_c), jnp.float32))
+        else:
+            read_xz = read_x
 
         # Tile loops are lax.fori_loop, NOT Python-unrolled: Mosaic gives
         # each unrolled tile's SSA chain its own VMEM slots (measured
@@ -457,10 +486,12 @@ def _call_fused(cc, r: int, c: int, karith, interpret, *, grid, x_in,
         # column tiles of the [r, c] block.
         def phase_a(j, carry):
             sl = pl.ds(j * lt_c, lt_c)
-            x0, x1 = read_x(xsrc, sl)
+            x0, x1 = read_xz(xsrc, sl)
             z = karith.from_f32(x0, x1)
             z = _run_fwd(z, r, tw_r, karith)
-            z = karith.mul_const(z, _tmap(lambda rf: rf[:, sl], cc_r["T"]))
+            if not _abl("mul"):
+                z = karith.mul_const(
+                    z, _tmap(lambda rf: rf[:, sl], cc_r["T"]))
             store(zA, sl, z)
             return carry
 
@@ -468,16 +499,23 @@ def _call_fused(cc, r: int, c: int, karith, interpret, *, grid, x_in,
 
         # Transpose [r, c] -> [c, r], whole planes.
         for k in range(nplanes):
-            zB[k] = jnp.swapaxes(zA[k], 0, 1)
+            if _abl("tr"):
+                assert r == c, "tr ablation needs square blocks"
+                zB[k] = zA[k]
+            else:
+                zB[k] = jnp.swapaxes(zA[k], 0, 1)
 
         # Phase B: phase-2 forward, spectral multiply, phase-2 inverse on
         # [c, lt_r] column tiles.
         def phase_b(j, carry):
             sl = pl.ds(j * lt_r, lt_r)
             z = load(zB, sl)
-            z = _run_fwd(z, c, tw_c, karith)
-            z = karith.mul_const(z, _tmap(lambda rf: rf[:, sl], cc_r["H"]))
-            z = _run_inv(z, c, tw_c, karith)
+            if not _abl("phaseb"):
+                z = _run_fwd(z, c, tw_c, karith)
+                if not _abl("mul"):
+                    z = karith.mul_const(
+                        z, _tmap(lambda rf: rf[:, sl], cc_r["H"]))
+                z = _run_inv(z, c, tw_c, karith)
             store(zB, sl, z)
             return carry
 
@@ -485,16 +523,22 @@ def _call_fused(cc, r: int, c: int, karith, interpret, *, grid, x_in,
 
         # Transpose back.
         for k in range(nplanes):
-            zA[k] = jnp.swapaxes(zB[k], 0, 1)
+            if _abl("tr"):
+                zA[k] = zB[k]
+            else:
+                zA[k] = jnp.swapaxes(zB[k], 0, 1)
 
         # Phase C: conjugate twiddle + phase-1 inverse + 1/B + unpack.
         def phase_c(j, carry):
             sl = pl.ds(j * lt_c, lt_c)
             z = load(zA, sl)
-            z = karith.mul_const(
-                z, karith.conj_const(_tmap(lambda rf: rf[:, sl], cc_r["T"])))
+            if not _abl("mul"):
+                z = karith.mul_const(
+                    z, karith.conj_const(
+                        _tmap(lambda rf: rf[:, sl], cc_r["T"])))
             z = _run_inv(z, r, tw_r, karith)
-            z = karith.mul_pow2(z, 1.0 / b)
+            if not _abl("mul"):
+                z = karith.mul_pow2(z, 1.0 / b)
             re, im = karith.to_f32(z)
             write_out(o_ref, sl, re, im)
             return carry
@@ -557,6 +601,26 @@ def segment_path_qualifies(num_taps: int, b: int,
     if _segment_framing(m, b)[2] <= 0:
         return False
     return interpret or (c >= 128 and r >= 8)
+
+
+def _segment_write_out(mr: int, hr: int):
+    """The segment path's writeback: valid rows [mr, mr+hr) of the re/im
+    tiles land at output rows [0, hr) / [hr, 2hr). Ablation variants (perf
+    probes only): ``out8`` stores just 8 rows; ``alignedsrc`` stores the
+    full height from the (sublane-aligned) tile top instead of mr."""
+    if _abl("out8"):
+        def w(o_ref, sl, re, im):
+            o_ref[0, 0, 0:8, sl] = re[:8, :]
+            o_ref[0, 0, hr:hr + 8, sl] = im[:8, :]
+    elif _abl("alignedsrc"):
+        def w(o_ref, sl, re, im):
+            o_ref[0, 0, 0:hr, sl] = re[:hr, :]
+            o_ref[0, 0, hr:2 * hr, sl] = im[:hr, :]
+    else:
+        def w(o_ref, sl, re, im):
+            o_ref[0, 0, 0:hr, sl] = re[mr:mr + hr, :]
+            o_ref[0, 0, hr:2 * hr, sl] = im[mr:mr + hr, :]
+    return w
 
 
 def pallas_segment_filter(x: jnp.ndarray, num_taps: int, b: int, H2,
@@ -626,6 +690,8 @@ def pallas_segment_filter(x: jnp.ndarray, num_taps: int, b: int, H2,
     win = r + hr  # merged-window rows: both blocks of the complex pair
 
     def prologue(x_ref, xs, sems):
+        if _abl("dma"):
+            return (xs, 0)  # read whatever the scratch holds; no DMA
         s = pl.program_id(0) * nk + pl.program_id(1)
 
         def issue(step, slot):
@@ -674,11 +740,7 @@ def pallas_segment_filter(x: jnp.ndarray, num_taps: int, b: int, H2,
                                        jnp.float32),
         read_x=lambda src, sl: (src[0][src[1], pl.ds(0, r), sl],
                                 src[0][src[1], pl.ds(hr, r), sl]),
-        write_out=lambda o_ref, sl, re, im: (
-            o_ref.__setitem__((0, 0, slice(0, hr), sl),
-                              re[mr:mr + hr, :]),
-            o_ref.__setitem__((0, 0, slice(hr, 2 * hr), sl),
-                              im[mr:mr + hr, :])),
+        write_out=_segment_write_out(mr, hr),
         extra_scratch=(
             pltpu.VMEM((2, win, c), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
