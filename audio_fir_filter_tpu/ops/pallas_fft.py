@@ -141,10 +141,12 @@ _BASE_PLAN = os.environ.get("LOWCUT_KERNEL_BASE_PLAN", "r8")
 #   noreadx  phase A reads zero tiles instead of the input
 #   nostores phases skip their zA/zB scratch stores
 #   noloads  phases load zero tiles instead of zA/zB scratch
+#   empty    kernel body is just one tiny write (grid + out-copy floor)
 _ABLATE = frozenset(
     t for t in os.environ.get("LOWCUT_ABLATE", "").split(",") if t)
 _ABLATE_KNOWN = {"dma", "tr", "fft", "mul", "rolls", "strided", "phaseb",
-                 "out8", "alignedsrc", "noreadx", "nostores", "noloads"}
+                 "out8", "alignedsrc", "noreadx", "nostores", "noloads",
+                 "empty"}
 if not _ABLATE <= _ABLATE_KNOWN:
     raise ValueError(f"unknown LOWCUT_ABLATE tokens {_ABLATE - _ABLATE_KNOWN}")
 
@@ -164,6 +166,7 @@ _KNOBS_AT_IMPORT = {
     "LOWCUT_LANE_TILE": os.environ.get("LOWCUT_LANE_TILE"),
     "LOWCUT_HIGH_KERNEL_ARITH": os.environ.get("LOWCUT_HIGH_KERNEL_ARITH"),
     "LOWCUT_ABLATE": os.environ.get("LOWCUT_ABLATE"),
+    "LOWCUT_UNROLL": os.environ.get("LOWCUT_UNROLL"),
 }
 
 
@@ -407,6 +410,9 @@ def _use_interpret() -> bool:
 # (internal error) — keep >= 128 on real TPU.
 LANE_TILE = int(os.environ.get("LOWCUT_LANE_TILE", 128))
 
+# Python-unroll the in-kernel tile loops (perf A/B; see tile_loop note).
+_UNROLL = os.environ.get("LOWCUT_UNROLL", "") == "1"
+
 
 
 def _call_fused(cc, r: int, c: int, karith, interpret, *, grid, x_in,
@@ -453,6 +459,11 @@ def _call_fused(cc, r: int, c: int, karith, interpret, *, grid, x_in,
         xsrc = x_ref
         if prologue is not None:
             xsrc = prologue(x_ref, *scratch)
+        if _abl("empty"):
+            # Grid/out-copy floor probe: no loops, no copies, one write.
+            write_out(o_ref, pl.ds(0, lt_c), zA[0][:, :lt_c],
+                      zA[min(1, nplanes - 1)][:, :lt_c])
+            return
 
         def store(ref, sl, z):
             if _abl("nostores"):
@@ -477,10 +488,19 @@ def _call_fused(cc, r: int, c: int, karith, interpret, *, grid, x_in,
         else:
             read_xz = read_x
 
-        # Tile loops are lax.fori_loop, NOT Python-unrolled: Mosaic gives
-        # each unrolled tile's SSA chain its own VMEM slots (measured
-        # 151 MiB > the 128 MiB chip), while a dynamic loop is compiled
-        # once and the live set is a single tile's chain.
+        # Tile loops are lax.fori_loop by default: Python-unrolling the
+        # WHOLE plane gave each tile's SSA chain its own VMEM slots in
+        # round 3 (measured 151 MiB > the 128 MiB chip). LOWCUT_UNROLL
+        # re-tests that at the current tile shapes: a fori_loop boundary
+        # also flushes Mosaic's software pipeline each iteration, which
+        # the round-5 floor decomposition implicates in the ~48 us/step
+        # bare-kernel floor.
+        def tile_loop(n_iters, body):
+            if _UNROLL:
+                for j in range(n_iters):
+                    body(j, 0)
+            else:
+                jax.lax.fori_loop(0, n_iters, body, 0)
 
         # Phase A: pack + phase-1 forward + four-step twiddle, [r, lt_c]
         # column tiles of the [r, c] block.
@@ -495,7 +515,7 @@ def _call_fused(cc, r: int, c: int, karith, interpret, *, grid, x_in,
             store(zA, sl, z)
             return carry
 
-        jax.lax.fori_loop(0, c // lt_c, phase_a, 0)
+        tile_loop(c // lt_c, phase_a)
 
         # Transpose [r, c] -> [c, r], whole planes.
         for k in range(nplanes):
@@ -519,7 +539,7 @@ def _call_fused(cc, r: int, c: int, karith, interpret, *, grid, x_in,
             store(zB, sl, z)
             return carry
 
-        jax.lax.fori_loop(0, r // lt_r, phase_b, 0)
+        tile_loop(r // lt_r, phase_b)
 
         # Transpose back.
         for k in range(nplanes):
@@ -543,7 +563,7 @@ def _call_fused(cc, r: int, c: int, karith, interpret, *, grid, x_in,
             write_out(o_ref, sl, re, im)
             return carry
 
-        jax.lax.fori_loop(0, c // lt_c, phase_c, 0)
+        tile_loop(c // lt_c, phase_c)
 
     # Constant index maps: Pallas fetches each table once and keeps it
     # resident in VMEM across grid steps.
@@ -577,7 +597,15 @@ def _segment_framing(m: int, b: int) -> tuple[int, int, int]:
     qualifier and the kernel carrying separately-edited copies of this
     math."""
     _, c = fc.fourstep_split(b)
+    # ceil to whole rows, then ROUND UP to a multiple of 8 rows: the
+    # writeback slices tile rows [mr, mr+hr) and a sublane-aligned start
+    # saves the per-tile relayout Mosaic emits for mr % 8 != 0 (measured
+    # +3.4 us/step at the f32 production shape, round-5 'alignedsrc'
+    # probe, experiments/fast_decomp_r05b.log). Hop cost: none at the
+    # production shapes (hp already rounds down to 8c multiples); at most
+    # one 8c chunk otherwise.
     mr = -(-m // c)                    # alias-skip rows (ceil)
+    mr = -(-mr // 8) * 8
     delta = mr * c - m
     hp = ((b - mr * c) // (8 * c)) * (8 * c)
     return mr, delta, hp

@@ -55,7 +55,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def child(variant: str, precision: str, reps: int, blocks: int) -> None:
+def child(variant: str, precision: str, reps: int, blocks: int,
+          block_size: int = 0) -> None:
     sys.path.insert(0, REPO)
     import jax
     import jax.numpy as jnp
@@ -66,7 +67,8 @@ def child(variant: str, precision: str, reps: int, blocks: int) -> None:
 
     fs, channels = 96000.0, 2
     ws = kd.WindowedSinc(15.0 / fs, 10.0 / fs).make_low_cut()
-    plan = osv.make_plan(ws.taps, precision=precision, engine="pallas")
+    plan = osv.make_plan(ws.taps, precision=precision, engine="pallas",
+                         block_size=block_size)
     seg = blocks * plan.hop
     xd = jax.jit(lambda: 0.3 * jnp.sin(
         0.37 * jnp.arange(channels * (seg + plan.m), dtype=jnp.float32)
@@ -98,12 +100,14 @@ def main() -> None:
     ap.add_argument("--child", nargs=2, metavar=("VARIANT", "PRECISION"))
     ap.add_argument("--reps", type=int, default=6)
     ap.add_argument("--blocks", type=int, default=504)
+    ap.add_argument("--block-size", type=int, default=0)
     ap.add_argument("--precisions", default="fast,high")
     ap.add_argument("--floor", action="store_true",
                     help="run the round-2 floor-decomposition set")
     args = ap.parse_args()
     if args.child:
-        child(args.child[0], args.child[1], args.reps, args.blocks)
+        child(args.child[0], args.child[1], args.reps, args.blocks,
+              args.block_size)
         return
     for precision in args.precisions.split(","):
         base = None
