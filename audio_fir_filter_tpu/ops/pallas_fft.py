@@ -167,6 +167,7 @@ _KNOBS_AT_IMPORT = {
     "LOWCUT_HIGH_KERNEL_ARITH": os.environ.get("LOWCUT_HIGH_KERNEL_ARITH"),
     "LOWCUT_ABLATE": os.environ.get("LOWCUT_ABLATE"),
     "LOWCUT_UNROLL": os.environ.get("LOWCUT_UNROLL"),
+    "LOWCUT_DMA_SPLIT": os.environ.get("LOWCUT_DMA_SPLIT"),
 }
 
 
@@ -413,11 +414,19 @@ LANE_TILE = int(os.environ.get("LOWCUT_LANE_TILE", 128))
 # Python-unroll the in-kernel tile loops (perf A/B; see tile_loop note).
 _UNROLL = os.environ.get("LOWCUT_UNROLL", "") == "1"
 
+# Concurrent DMA streams per transfer direction in the segment path. One
+# async-copy stream sustains only ~40 GB/s on this part while the chip's
+# aggregate is ~173 GB/s (round-5 floor probes vs plain-XLA saxpy), so
+# each input window / output writeback is split into this many row-chunk
+# DMAs issued concurrently. 1 = the round-4 single-stream behavior.
+_DMA_SPLIT = int(os.environ.get("LOWCUT_DMA_SPLIT", 4))
+
 
 
 def _call_fused(cc, r: int, c: int, karith, interpret, *, grid, x_in,
                 in_spec, out_spec, out_shape, read_x, write_out,
-                extra_scratch=(), prologue=None):
+                extra_scratch=(), prologue=None, pre_out=None,
+                epilogue=None):
     """Shared fused-conv pallas_call: the 5-phase VMEM pipeline (pack,
     phase-1 fwd + T, transpose, phase-2 fwd x H x inv, transpose, conj-T +
     phase-1 inv, unpack) parameterized over how the kernel reads its two
@@ -426,8 +435,11 @@ def _call_fused(cc, r: int, c: int, karith, interpret, *, grid, x_in,
     ``prologue(x_ref, scratch...)`` (optional) runs once per grid step
     before the phases — the segment path uses it to DMA its overlapped
     windows from HBM. ``read_x(x_ref_or_scratch, lane_slice)`` must return
-    the two real [r, lt] tiles; ``write_out(o_ref, lane_slice, re, im)``
-    stores the result tiles.
+    the two real [r, lt] tiles; ``write_out(o_ref, lane_slice, re, im,
+    scratch...)`` stores the result tiles. ``pre_out(o_ref, scratch...)``
+    runs just before the writeback loop and ``epilogue(o_ref, scratch...)``
+    after it — the segment path uses them for its manual double-buffered
+    output DMA (wait for the slot's previous copy / issue this step's).
     """
     b = r * c
     cleaves, cdef = jax.tree.flatten(cc)
@@ -461,8 +473,11 @@ def _call_fused(cc, r: int, c: int, karith, interpret, *, grid, x_in,
             xsrc = prologue(x_ref, *scratch)
         if _abl("empty"):
             # Grid/out-copy floor probe: no loops, no copies, one write.
+            octx = pre_out(o_ref, *scratch) if pre_out is not None else None
             write_out(o_ref, pl.ds(0, lt_c), zA[0][:, :lt_c],
-                      zA[min(1, nplanes - 1)][:, :lt_c])
+                      zA[min(1, nplanes - 1)][:, :lt_c], octx, *scratch)
+            if epilogue is not None:
+                epilogue(o_ref, *scratch)
             return
 
         def store(ref, sl, z):
@@ -549,6 +564,11 @@ def _call_fused(cc, r: int, c: int, karith, interpret, *, grid, x_in,
                 zA[k] = jnp.swapaxes(zB[k], 0, 1)
 
         # Phase C: conjugate twiddle + phase-1 inverse + 1/B + unpack.
+        # octx (e.g. the output-staging slot) is computed OUTSIDE the tile
+        # loop: pl.program_id cannot bind inside a fori_loop body under
+        # the CPU interpreter.
+        octx = pre_out(o_ref, *scratch) if pre_out is not None else None
+
         def phase_c(j, carry):
             sl = pl.ds(j * lt_c, lt_c)
             z = load(zA, sl)
@@ -560,10 +580,12 @@ def _call_fused(cc, r: int, c: int, karith, interpret, *, grid, x_in,
             if not _abl("mul"):
                 z = karith.mul_pow2(z, 1.0 / b)
             re, im = karith.to_f32(z)
-            write_out(o_ref, sl, re, im)
+            write_out(o_ref, sl, re, im, octx, *scratch)
             return carry
 
         tile_loop(c // lt_c, phase_c)
+        if epilogue is not None:
+            epilogue(o_ref, *scratch)
 
     # Constant index maps: Pallas fetches each table once and keeps it
     # resident in VMEM across grid steps.
@@ -633,21 +655,25 @@ def segment_path_qualifies(num_taps: int, b: int,
 
 def _segment_write_out(mr: int, hr: int):
     """The segment path's writeback: valid rows [mr, mr+hr) of the re/im
-    tiles land at output rows [0, hr) / [hr, 2hr). Ablation variants (perf
-    probes only): ``out8`` stores just 8 rows; ``alignedsrc`` stores the
-    full height from the (sublane-aligned) tile top instead of mr."""
+    tiles land at rows [0, hr) / [hr, 2hr) of this step's slot of the
+    double-buffered output staging scratch ``yS`` (the manual out-DMA in
+    the epilogue ships it to HBM — the Pallas auto out-block pipeline
+    measured ~37 GB/s and serialized with the body, round-5 floor probes).
+    Ablation variants (perf probes only): ``out8`` stores just 8 rows;
+    ``alignedsrc`` stores the full height from the (sublane-aligned) tile
+    top instead of mr."""
     if _abl("out8"):
-        def w(o_ref, sl, re, im):
-            o_ref[0, 0, 0:8, sl] = re[:8, :]
-            o_ref[0, 0, hr:hr + 8, sl] = im[:8, :]
+        def w(o_ref, sl, re, im, slot, xs, sems, yS, osem):
+            yS[slot, 0:8, sl] = re[:8, :]
+            yS[slot, hr:hr + 8, sl] = im[:8, :]
     elif _abl("alignedsrc"):
-        def w(o_ref, sl, re, im):
-            o_ref[0, 0, 0:hr, sl] = re[:hr, :]
-            o_ref[0, 0, hr:2 * hr, sl] = im[:hr, :]
+        def w(o_ref, sl, re, im, slot, xs, sems, yS, osem):
+            yS[slot, 0:hr, sl] = re[:hr, :]
+            yS[slot, hr:2 * hr, sl] = im[:hr, :]
     else:
-        def w(o_ref, sl, re, im):
-            o_ref[0, 0, 0:hr, sl] = re[mr:mr + hr, :]
-            o_ref[0, 0, hr:2 * hr, sl] = im[mr:mr + hr, :]
+        def w(o_ref, sl, re, im, slot, xs, sems, yS, osem):
+            yS[slot, 0:hr, sl] = re[mr:mr + hr, :]
+            yS[slot, hr:2 * hr, sl] = im[mr:mr + hr, :]
     return w
 
 
@@ -717,7 +743,34 @@ def pallas_segment_filter(x: jnp.ndarray, num_taps: int, b: int, H2,
     total = ch_n * nk
     win = r + hr  # merged-window rows: both blocks of the complex pair
 
-    def prologue(x_ref, xs, sems):
+    # MANUAL, SPLIT DMA on both sides (round-5 fix). The floor probes
+    # (experiments/fast_decomp_r05b/c/d) showed (a) the Pallas auto
+    # out-block pipeline serializes with the body, and (b) ONE async copy
+    # stream sustains only ~40 GB/s on this part while plain XLA reaches
+    # ~173 GB/s with many concurrent streams — so each step's input
+    # window and output writeback are split into K=LOWCUT_DMA_SPLIT
+    # row-chunks issued as CONCURRENT DMAs (per-chunk semaphores),
+    # double-buffered across grid steps exactly like the round-3 single-
+    # stream design: step s issues step s+1's input fetch before waiting
+    # on its own; the output copy of step s-2 (same slot) is waited just
+    # before the writeback loop overwrites the slot; the last two steps'
+    # copies are drained at the final step.
+    def row_chunks(rows: int) -> list[tuple[int, int]]:
+        k = max(1, min(_DMA_SPLIT, rows // 8))
+        per = -(-rows // (8 * k)) * 8
+        out = []
+        off = 0
+        while off < rows:
+            ln = min(per, rows - off)
+            out.append((off, ln))
+            off += ln
+        return out
+
+    in_chunks = row_chunks(win)
+    out_chunks = row_chunks(2 * hr)
+    n_in, n_out = len(in_chunks), len(out_chunks)
+
+    def prologue(x_ref, xs, sems, yS, osem):
         if _abl("dma"):
             return (xs, 0)  # read whatever the scratch holds; no DMA
         s = pl.program_id(0) * nk + pl.program_id(1)
@@ -725,9 +778,11 @@ def pallas_segment_filter(x: jnp.ndarray, num_taps: int, b: int, H2,
         def issue(step, slot):
             ch2 = step // nk
             row = pl.multiple_of((step % nk) * (2 * hr), 8)
-            pltpu.make_async_copy(
-                x_ref.at[ch2, pl.ds(row, win), :],
-                xs.at[slot], sems.at[slot]).start()
+            for j, (off, ln) in enumerate(in_chunks):
+                pltpu.make_async_copy(
+                    x_ref.at[ch2, pl.ds(row + off, ln), :],
+                    xs.at[slot, pl.ds(off, ln)],
+                    sems.at[slot, j]).start()
 
         @pl.when(s == 0)
         def _():
@@ -743,27 +798,64 @@ def pallas_segment_filter(x: jnp.ndarray, num_taps: int, b: int, H2,
         def _():
             issue(nxt, 1)
 
-        # Wait on THIS step's buffer (size-matched descriptor, same sem).
+        # Wait on THIS step's buffer (size-matched descriptors, same sems).
         for slot in (0, 1):
             @pl.when(s % 2 == slot)
             def _(slot=slot):
-                pltpu.make_async_copy(
-                    x_ref.at[0, pl.ds(0, win), :],
-                    xs.at[slot], sems.at[slot]).wait()
+                for j, (off, ln) in enumerate(in_chunks):
+                    pltpu.make_async_copy(
+                        x_ref.at[0, pl.ds(0, ln), :],
+                        xs.at[slot, pl.ds(off, ln)],
+                        sems.at[slot, j]).wait()
 
         return (xs, s % 2)
 
-    # Output is 4-D [C, nb/2, 2*hr, c] so the block's trailing two dims
-    # equal the full array dims (2*hr need not be sublane-aligned then);
-    # the flat [C, nb*hp] view below is the same row-major order.
+    def _wait_out(o_ref, yS, osem, slot):
+        for j, (off, ln) in enumerate(out_chunks):
+            pltpu.make_async_copy(
+                yS.at[slot, pl.ds(off, ln)], o_ref.at[0, 0, pl.ds(0, ln)],
+                osem.at[slot, j]).wait()
+
+    def pre_out(o_ref, xs, sems, yS, osem):
+        s = pl.program_id(0) * nk + pl.program_id(1)
+        for slot in (0, 1):
+            @pl.when(jnp.logical_and(s >= 2, s % 2 == slot))
+            def _(slot=slot):
+                _wait_out(o_ref, yS, osem, slot)
+        return s % 2
+
+    def epilogue(o_ref, xs, sems, yS, osem):
+        ch = pl.program_id(0)
+        kk = pl.program_id(1)
+        s = ch * nk + kk
+        for slot in (0, 1):
+            @pl.when(s % 2 == slot)
+            def _(slot=slot):
+                for j, (off, ln) in enumerate(out_chunks):
+                    pltpu.make_async_copy(
+                        yS.at[slot, pl.ds(off, ln)],
+                        o_ref.at[ch, kk, pl.ds(off, ln)],
+                        osem.at[slot, j]).start()
+        # Final step: drain this copy and (when it exists) the previous
+        # step's copy on the other slot — every issued DMA is waited.
+        if total >= 2:
+            for slot in (0, 1):
+                @pl.when(s == total - 1)
+                def _(slot=slot):
+                    _wait_out(o_ref, yS, osem, slot)
+        else:
+            @pl.when(s == 0)
+            def _():
+                _wait_out(o_ref, yS, osem, 0)
+
+    # Output is 4-D [C, nb/2, 2*hr, c] in ANY space (the kernel DMAs into
+    # it); the flat [C, nb*hp] view below is the same row-major order.
     y3 = _call_fused(
         cc, r, c, karith, interpret,
         grid=(ch_n, nb // 2),
         x_in=xp3,
         in_spec=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_spec=pl.BlockSpec((1, 1, 2 * hr, c),
-                              lambda ch, kk: (ch, kk, 0, 0),
-                              memory_space=pltpu.VMEM),
+        out_spec=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((ch_n, nb // 2, 2 * hr, c),
                                        jnp.float32),
         read_x=lambda src, sl: (src[0][src[1], pl.ds(0, r), sl],
@@ -771,9 +863,13 @@ def pallas_segment_filter(x: jnp.ndarray, num_taps: int, b: int, H2,
         write_out=_segment_write_out(mr, hr),
         extra_scratch=(
             pltpu.VMEM((2, win, c), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, n_in)),
+            pltpu.VMEM((2, 2 * hr, c), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, n_out)),
         ),
         prologue=prologue,
+        pre_out=pre_out,
+        epilogue=epilogue,
     )
     return y3.reshape(ch_n, nb * hp)[:, :n]
 
@@ -814,7 +910,7 @@ def pallas_conv_real_blocks(blocks: jnp.ndarray, H2, arith=ARITH_DF64,
                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         read_x=lambda x_ref, sl: (x_ref[0, 0, :, sl], x_ref[0, 1, :, sl]),
-        write_out=lambda o_ref, sl, re, im: (
+        write_out=lambda o_ref, sl, re, im, octx: (
             o_ref.__setitem__((0, 0, slice(None), sl), re),
             o_ref.__setitem__((0, 1, slice(None), sl), im)),
     )
