@@ -168,6 +168,8 @@ _KNOBS_AT_IMPORT = {
     "LOWCUT_ABLATE": os.environ.get("LOWCUT_ABLATE"),
     "LOWCUT_UNROLL": os.environ.get("LOWCUT_UNROLL"),
     "LOWCUT_DMA_SPLIT": os.environ.get("LOWCUT_DMA_SPLIT"),
+    "LOWCUT_PAIR_GROUP": os.environ.get("LOWCUT_PAIR_GROUP"),
+    "LOWCUT_PIPE_DEPTH": os.environ.get("LOWCUT_PIPE_DEPTH"),
 }
 
 
@@ -421,12 +423,24 @@ _UNROLL = os.environ.get("LOWCUT_UNROLL", "") == "1"
 # DMAs issued concurrently. 1 = the round-4 single-stream behavior.
 _DMA_SPLIT = int(os.environ.get("LOWCUT_DMA_SPLIT", 4))
 
+# Complex pairs per grid step in the segment path (amortizes the ~43 us
+# per-grid-step sequencing cost measured on this backend; VMEM use does
+# not grow with it — the DMA pipeline depth stays 2).
+_PAIR_GROUP = int(os.environ.get("LOWCUT_PAIR_GROUP", 8))
+
+# DMA pipeline depth of the segment path: input windows are prefetched
+# DEPTH-1 pairs ahead and output copies drain DEPTH pairs behind. Depth 2
+# is the round-3/4 double-buffer; deeper pipelines hide per-DMA
+# completion latency if that (rather than true per-direction bandwidth)
+# is what the ~48 us/pair floor is made of.
+_PIPE_DEPTH = max(2, int(os.environ.get("LOWCUT_PIPE_DEPTH", 4)))
+
 
 
 def _call_fused(cc, r: int, c: int, karith, interpret, *, grid, x_in,
                 in_spec, out_spec, out_shape, read_x, write_out,
                 extra_scratch=(), prologue=None, pre_out=None,
-                epilogue=None):
+                epilogue=None, group=1):
     """Shared fused-conv pallas_call: the 5-phase VMEM pipeline (pack,
     phase-1 fwd + T, transpose, phase-2 fwd x H x inv, transpose, conj-T +
     phase-1 inv, unpack) parameterized over how the kernel reads its two
@@ -468,16 +482,28 @@ def _call_fused(cc, r: int, c: int, karith, interpret, *, grid, x_in,
         cc_r = jax.tree.unflatten(cdef, list(crefs))
         tw_r = _tmap(lambda rf: rf[...], cc_r["tw_r"])
         tw_c = _tmap(lambda rf: rf[...], cc_r["tw_c"])
+        # GROUPED pairs: one grid step processes `group` complex pairs in
+        # sequence (Python loop, g static), reusing zA/zB between pairs.
+        # A grid step costs ~43 us of pure sequencing on this backend
+        # (experiments/dma_bw_micro.py mode=none — independent of body,
+        # bytes, or DMA), so the grid is shrunk by `group` and that cost
+        # amortized; the per-pair DMA pipelining (prefetch next pair's
+        # input, 2-deep output staging) is unchanged — hooks receive g.
+        for g in range(group):
+            _one_pair(x_ref, o_ref, zA, zB, scratch, cc_r, tw_r, tw_c, g)
+
+    def _one_pair(x_ref, o_ref, zA, zB, scratch, cc_r, tw_r, tw_c, g):
         xsrc = x_ref
         if prologue is not None:
-            xsrc = prologue(x_ref, *scratch)
+            xsrc = prologue(x_ref, *scratch, g)
         if _abl("empty"):
             # Grid/out-copy floor probe: no loops, no copies, one write.
-            octx = pre_out(o_ref, *scratch) if pre_out is not None else None
+            octx = (pre_out(o_ref, *scratch, g)
+                    if pre_out is not None else None)
             write_out(o_ref, pl.ds(0, lt_c), zA[0][:, :lt_c],
                       zA[min(1, nplanes - 1)][:, :lt_c], octx, *scratch)
             if epilogue is not None:
-                epilogue(o_ref, *scratch)
+                epilogue(o_ref, *scratch, g)
             return
 
         def store(ref, sl, z):
@@ -567,7 +593,7 @@ def _call_fused(cc, r: int, c: int, karith, interpret, *, grid, x_in,
         # octx (e.g. the output-staging slot) is computed OUTSIDE the tile
         # loop: pl.program_id cannot bind inside a fori_loop body under
         # the CPU interpreter.
-        octx = pre_out(o_ref, *scratch) if pre_out is not None else None
+        octx = pre_out(o_ref, *scratch, g) if pre_out is not None else None
 
         def phase_c(j, carry):
             sl = pl.ds(j * lt_c, lt_c)
@@ -585,7 +611,7 @@ def _call_fused(cc, r: int, c: int, karith, interpret, *, grid, x_in,
 
         tile_loop(c // lt_c, phase_c)
         if epilogue is not None:
-            epilogue(o_ref, *scratch)
+            epilogue(o_ref, *scratch, g)
 
     # Constant index maps: Pallas fetches each table once and keeps it
     # resident in VMEM across grid steps.
@@ -663,17 +689,20 @@ def _segment_write_out(mr: int, hr: int):
     ``alignedsrc`` stores the full height from the (sublane-aligned) tile
     top instead of mr."""
     if _abl("out8"):
-        def w(o_ref, sl, re, im, slot, xs, sems, yS, osem):
-            yS[slot, 0:8, sl] = re[:8, :]
-            yS[slot, hr:hr + 8, sl] = im[:8, :]
+        def w(o_ref, sl, re, im, octx, xs, sems, yS, osem):
+            ms, g = octx
+            yS[ms, g, 0:8, sl] = re[:8, :]
+            yS[ms, g, hr:hr + 8, sl] = im[:8, :]
     elif _abl("alignedsrc"):
-        def w(o_ref, sl, re, im, slot, xs, sems, yS, osem):
-            yS[slot, 0:hr, sl] = re[:hr, :]
-            yS[slot, hr:2 * hr, sl] = im[:hr, :]
+        def w(o_ref, sl, re, im, octx, xs, sems, yS, osem):
+            ms, g = octx
+            yS[ms, g, 0:hr, sl] = re[:hr, :]
+            yS[ms, g, hr:2 * hr, sl] = im[:hr, :]
     else:
-        def w(o_ref, sl, re, im, slot, xs, sems, yS, osem):
-            yS[slot, 0:hr, sl] = re[mr:mr + hr, :]
-            yS[slot, hr:2 * hr, sl] = im[mr:mr + hr, :]
+        def w(o_ref, sl, re, im, octx, xs, sems, yS, osem):
+            ms, g = octx
+            yS[ms, g, 0:hr, sl] = re[mr:mr + hr, :]
+            yS[ms, g, hr:2 * hr, sl] = im[mr:mr + hr, :]
     return w
 
 
@@ -729,6 +758,15 @@ def pallas_segment_filter(x: jnp.ndarray, num_taps: int, b: int, H2,
     hr = hp // c                       # valid rows per block
     nb = -(-n // hp)
     nb += nb & 1                       # two real blocks per complex FFT
+    # Pair grouping (round-5): one grid step runs `group` complex pairs —
+    # a grid step costs ~43 us of pure sequencing on this backend
+    # (experiments/dma_bw_micro.py mode=none), which at group=1 was ~65%
+    # of the f32 step time. Pad the per-channel pair count up to a group
+    # multiple (padded pairs read zero-padded signal and their output is
+    # sliced away; <= group-1 extra pairs per channel).
+    group = max(1, min(_PAIR_GROUP, nb // 2))
+    nkp = -(-(nb // 2) // group) * group
+    nb = 2 * nkp
     # Left pad mo2 + delta: block j's first written position (M' of the
     # circular conv) then lands exactly on out[j*hp], keeping the written
     # hops a contiguous tiling of the output from 0.
@@ -739,22 +777,21 @@ def pallas_segment_filter(x: jnp.ndarray, num_taps: int, b: int, H2,
     tabs = conv_tables(b, karith.name)
     cc = dict(tabs, H=H2)
 
-    nk = nb // 2
-    total = ch_n * nk
+    nmacro = nkp // group
+    total_pairs = ch_n * nkp
     win = r + hr  # merged-window rows: both blocks of the complex pair
 
-    # MANUAL, SPLIT DMA on both sides (round-5 fix). The floor probes
-    # (experiments/fast_decomp_r05b/c/d) showed (a) the Pallas auto
-    # out-block pipeline serializes with the body, and (b) ONE async copy
-    # stream sustains only ~40 GB/s on this part while plain XLA reaches
-    # ~173 GB/s with many concurrent streams — so each step's input
-    # window and output writeback are split into K=LOWCUT_DMA_SPLIT
-    # row-chunks issued as CONCURRENT DMAs (per-chunk semaphores),
-    # double-buffered across grid steps exactly like the round-3 single-
-    # stream design: step s issues step s+1's input fetch before waiting
-    # on its own; the output copy of step s-2 (same slot) is waited just
-    # before the writeback loop overwrites the slot; the last two steps'
-    # copies are drained at the final step.
+    # MANUAL, MACRO-BATCHED DMA on both sides (round-5 design, chosen by
+    # the floor-probe ladder in experiments/fast_decomp_r05*.log +
+    # dma_bw_micro.py): on this backend a BLOCKING DMA-semaphore wait
+    # batch costs ~40-50 us regardless of bytes, stream count
+    # (LOWCUT_DMA_SPLIT 1/4/8), pipeline depth (2/4/8), or grid grouping
+    # — it is a per-wait-cycle quantum, not bandwidth. So waits are
+    # AMORTIZED over the pair group: the g==0 pair of each macro grid
+    # step waits ONCE for all `group` input windows (issued one macro
+    # step earlier) and ONCE for the macro-before-last's output batch;
+    # the group's pairs then compute with no blocking waits between
+    # them, staging outputs and issuing their copies as they finish.
     def row_chunks(rows: int) -> list[tuple[int, int]]:
         k = max(1, min(_DMA_SPLIT, rows // 8))
         per = -(-rows // (8 * k)) * 8
@@ -769,107 +806,111 @@ def pallas_segment_filter(x: jnp.ndarray, num_taps: int, b: int, H2,
     in_chunks = row_chunks(win)
     out_chunks = row_chunks(2 * hr)
     n_in, n_out = len(in_chunks), len(out_chunks)
+    total_macros = ch_n * nmacro
 
-    def prologue(x_ref, xs, sems, yS, osem):
-        if _abl("dma"):
-            return (xs, 0)  # read whatever the scratch holds; no DMA
-        s = pl.program_id(0) * nk + pl.program_id(1)
+    def _macro_id():
+        return pl.program_id(0) * nmacro + pl.program_id(1)
 
-        def issue(step, slot):
-            ch2 = step // nk
-            row = pl.multiple_of((step % nk) * (2 * hr), 8)
+    def _issue_macro(x_ref, xs, sems, mi, mslot):
+        """Issue the input-window DMAs of ALL `group` pairs of macro mi
+        into xs[mslot]."""
+        base = mi * group
+        for t in range(group):
+            tq = base + t
+            ch2 = tq // nkp
+            row = pl.multiple_of((tq % nkp) * (2 * hr), 8)
             for j, (off, ln) in enumerate(in_chunks):
                 pltpu.make_async_copy(
                     x_ref.at[ch2, pl.ds(row + off, ln), :],
-                    xs.at[slot, pl.ds(off, ln)],
-                    sems.at[slot, j]).start()
+                    xs.at[mslot, t, pl.ds(off, ln)],
+                    sems.at[mslot, t, j]).start()
 
-        @pl.when(s == 0)
-        def _():
-            issue(s, 0)
+    def prologue(x_ref, xs, sems, yS, osem, g):
+        if _abl("dma"):
+            return (xs, 0, g)  # read whatever the scratch holds; no DMA
+        mi = _macro_id()
+        if g == 0:
+            @pl.when(mi == 0)
+            def _():
+                _issue_macro(x_ref, xs, sems, mi, 0)
+            for ms in (0, 1):
+                @pl.when(jnp.logical_and(mi + 1 < total_macros,
+                                         (mi + 1) % 2 == ms))
+                def _(ms=ms):
+                    _issue_macro(x_ref, xs, sems, mi + 1, ms)
+            # ONE wait batch for the whole group's windows.
+            for ms in (0, 1):
+                @pl.when(mi % 2 == ms)
+                def _(ms=ms):
+                    for t in range(group):
+                        for j, (off, ln) in enumerate(in_chunks):
+                            pltpu.make_async_copy(
+                                x_ref.at[0, pl.ds(0, ln), :],
+                                xs.at[ms, t, pl.ds(off, ln)],
+                                sems.at[ms, t, j]).wait()
+        return (xs, mi % 2, g)
 
-        nxt = s + 1
+    def _wait_out_macro(o_ref, yS, osem, ms):
+        for t in range(group):
+            for j, (off, ln) in enumerate(out_chunks):
+                pltpu.make_async_copy(
+                    yS.at[ms, t, pl.ds(off, ln)],
+                    o_ref.at[0, 0, pl.ds(0, ln)],
+                    osem.at[ms, t, j]).wait()
 
-        @pl.when(jnp.logical_and(nxt < total, nxt % 2 == 0))
-        def _():
-            issue(nxt, 0)
+    def pre_out(o_ref, xs, sems, yS, osem, g):
+        mi = _macro_id()
+        if g == 0:
+            # The writeback below reuses yS[mi%2]: wait the copies issued
+            # two macro steps ago (same slot) — one wait batch per group.
+            for ms in (0, 1):
+                @pl.when(jnp.logical_and(mi >= 2, mi % 2 == ms))
+                def _(ms=ms):
+                    _wait_out_macro(o_ref, yS, osem, ms)
+        return (mi % 2, g)
 
-        @pl.when(jnp.logical_and(nxt < total, nxt % 2 == 1))
-        def _():
-            issue(nxt, 1)
-
-        # Wait on THIS step's buffer (size-matched descriptors, same sems).
-        for slot in (0, 1):
-            @pl.when(s % 2 == slot)
-            def _(slot=slot):
-                for j, (off, ln) in enumerate(in_chunks):
-                    pltpu.make_async_copy(
-                        x_ref.at[0, pl.ds(0, ln), :],
-                        xs.at[slot, pl.ds(off, ln)],
-                        sems.at[slot, j]).wait()
-
-        return (xs, s % 2)
-
-    def _wait_out(o_ref, yS, osem, slot):
-        for j, (off, ln) in enumerate(out_chunks):
-            pltpu.make_async_copy(
-                yS.at[slot, pl.ds(off, ln)], o_ref.at[0, 0, pl.ds(0, ln)],
-                osem.at[slot, j]).wait()
-
-    def pre_out(o_ref, xs, sems, yS, osem):
-        s = pl.program_id(0) * nk + pl.program_id(1)
-        for slot in (0, 1):
-            @pl.when(jnp.logical_and(s >= 2, s % 2 == slot))
-            def _(slot=slot):
-                _wait_out(o_ref, yS, osem, slot)
-        return s % 2
-
-    def epilogue(o_ref, xs, sems, yS, osem):
+    def epilogue(o_ref, xs, sems, yS, osem, g):
         ch = pl.program_id(0)
-        kk = pl.program_id(1)
-        s = ch * nk + kk
-        for slot in (0, 1):
-            @pl.when(s % 2 == slot)
-            def _(slot=slot):
+        kk = pl.program_id(1) * group + g
+        mi = _macro_id()
+        for ms in (0, 1):
+            @pl.when(mi % 2 == ms)
+            def _(ms=ms):
                 for j, (off, ln) in enumerate(out_chunks):
                     pltpu.make_async_copy(
-                        yS.at[slot, pl.ds(off, ln)],
+                        yS.at[ms, g, pl.ds(off, ln)],
                         o_ref.at[ch, kk, pl.ds(off, ln)],
-                        osem.at[slot, j]).start()
-        # Final step: drain this copy and (when it exists) the previous
-        # step's copy on the other slot — every issued DMA is waited.
-        if total >= 2:
-            for slot in (0, 1):
-                @pl.when(s == total - 1)
-                def _(slot=slot):
-                    _wait_out(o_ref, yS, osem, slot)
-        else:
-            @pl.when(s == 0)
-            def _():
-                _wait_out(o_ref, yS, osem, 0)
+                        osem.at[ms, g, j]).start()
+        if g == group - 1:
+            # Final macro: drain the last (up to two) macros' batches.
+            for ms in range(min(2, total_macros)):
+                @pl.when(mi == total_macros - 1)
+                def _(ms=ms):
+                    _wait_out_macro(o_ref, yS, osem, ms)
 
     # Output is 4-D [C, nb/2, 2*hr, c] in ANY space (the kernel DMAs into
     # it); the flat [C, nb*hp] view below is the same row-major order.
     y3 = _call_fused(
         cc, r, c, karith, interpret,
-        grid=(ch_n, nb // 2),
+        grid=(ch_n, nmacro),
         x_in=xp3,
         in_spec=pl.BlockSpec(memory_space=pltpu.ANY),
         out_spec=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((ch_n, nb // 2, 2 * hr, c),
                                        jnp.float32),
-        read_x=lambda src, sl: (src[0][src[1], pl.ds(0, r), sl],
-                                src[0][src[1], pl.ds(hr, r), sl]),
+        read_x=lambda src, sl: (src[0][src[1], src[2], pl.ds(0, r), sl],
+                                src[0][src[1], src[2], pl.ds(hr, r), sl]),
         write_out=_segment_write_out(mr, hr),
         extra_scratch=(
-            pltpu.VMEM((2, win, c), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, n_in)),
-            pltpu.VMEM((2, 2 * hr, c), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, n_out)),
+            pltpu.VMEM((2, group, win, c), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, group, n_in)),
+            pltpu.VMEM((2, group, 2 * hr, c), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, group, n_out)),
         ),
         prologue=prologue,
         pre_out=pre_out,
         epilogue=epilogue,
+        group=group,
     )
     return y3.reshape(ch_n, nb * hp)[:, :n]
 

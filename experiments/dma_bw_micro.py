@@ -96,6 +96,29 @@ def bw_kernel(nsteps: int, rows: int, c: int, nsplit: int, mode: str):
                             o_ref.at[0, pl.ds(0, ln)],
                             osem.at[slot, j]).wait()
 
+    if mode == "none":
+        # Pure grid-sequencing probe: no DMA, trivial body, tiny auto-out.
+        def none_kernel(x_ref, o_ref):
+            o_ref[...] = jnp.float32(1.0) + jnp.zeros((1, 8, c), jnp.float32)
+
+        xt = jax.jit(lambda: jnp.ones((nsteps, 8, c), jnp.float32))()
+        fn = pl.pallas_call(
+            none_kernel,
+            grid=(nsteps,),
+            in_specs=[pl.BlockSpec((1, 8, c), lambda i: (i, 0, 0))],
+            out_specs=pl.BlockSpec((1, 8, c), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((nsteps, 8, c), jnp.float32),
+        )
+        y = fn(xt)
+        np.asarray(y[0, :1, :8])
+        reps = 5
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            y = fn(xt)
+        np.asarray(y[0, :1, :8])
+        dt = (time.perf_counter() - t0) / reps
+        return dt, 0.0
+
     x = jax.jit(lambda: jnp.ones((nsteps, rows, c), jnp.float32))()
     fn = pl.pallas_call(
         kernel,
@@ -129,9 +152,9 @@ def main():
     ap.add_argument("--steps", type=int, default=128)
     args = ap.parse_args()
     c = 512
-    for mode in ("in", "out", "both"):
-        for rows in (512, 1024, 2048):
-            for nsplit in (1, 4):
+    for mode in ("none", "in", "out", "both"):
+        for rows in ((512,) if mode == "none" else (512, 1024, 2048)):
+            for nsplit in ((1,) if mode == "none" else (1, 4)):
                 try:
                     dt, bw = bw_kernel(args.steps, rows, c, nsplit, mode)
                     log(f"mode={mode:4s} rows={rows:5d} split={nsplit}: "
