@@ -178,19 +178,36 @@ def _pallas_roofline(plan, chip_rate: float) -> None:
     # is valid output, so each OUTPUT sample pays B/hop of the block work.
     overlap = b / plan.hop
     flops_per_sample = per_cplx / 2 * overlap
-    bytes_per_sample = 4.0 * overlap + 4.0   # f32 windowed read + valid write
+    in_bytes = 4.0 * overlap           # f32 overlapped window read
+    out_bytes = 4.0                    # f32 valid write
     VPU = 3.85e12
-    bound = VPU / flops_per_sample
-    gbs = chip_rate * bytes_per_sample / 1e9
+    # Per-direction DMA ceiling MEASURED on this part (round 5): every
+    # orchestration of the kernel's HBM copies — auto/manual, 1-8 streams,
+    # pipeline depth 2-8, 1-32 pairs per grid step, batched waits — lands
+    # at ~40 GB/s per direction (~77 aggregate), while plain-XLA saxpy
+    # reaches 173 GB/s and the v5e SPEC says 819 (never observed here).
+    # Input and output DMAs overlap each other and the VPU, so the memory
+    # bound is set by the slower direction. Evidence:
+    # experiments/fast_decomp_r05*.log, dma_bw_r05.log.
+    DMA_DIR = 40e9
+    arith_bound = VPU / flops_per_sample
+    mem_bound = DMA_DIR / max(in_bytes, out_bytes)
+    bound = min(arith_bound, mem_bound)
+    binder = "VPU arithmetic" if arith_bound < mem_bound else "DMA"
+    gbs = chip_rate * (in_bytes + out_bytes) / 1e9
     log(f"roofline model (fused Pallas, arith={an}):")
     log(f"  B={b} = {r}x{c}; plan {pf.phase_plan(r, an)}")
     log(f"  model: {flops_per_sample:.0f} weighted f32-op/sample, "
-        f"{bytes_per_sample:.1f} HBM B/sample")
-    log(f"  achieved at {chip_rate/1e6:.1f} Msamples/s: "
-        f"{chip_rate*flops_per_sample/1e12:.2f} T f32-op/s of the "
-        f"{VPU/1e12:.2f} T/s VPU ceiling ({chip_rate/bound*100:.0f}% of the "
-        f"{bound/1e6:.0f} Ms/s arithmetic bound); HBM {gbs:.1f} GB/s "
-        f"({gbs/819*100:.1f}% of 819 GB/s -- not the binding resource)")
+        f"{in_bytes + out_bytes:.1f} HBM B/sample "
+        f"({in_bytes:.2f} in / {out_bytes:.2f} out)")
+    log(f"  bounds: arithmetic {arith_bound/1e6:.0f} Ms/s "
+        f"(VPU {VPU/1e12:.2f} T f32-op/s), memory {mem_bound/1e6:.0f} Ms/s "
+        f"(measured {DMA_DIR/1e9:.0f} GB/s per DMA direction on this "
+        f"part) -> {binder}-bound at {bound/1e6:.0f} Ms/s")
+    log(f"  achieved {chip_rate/1e6:.1f} Msamples/s = "
+        f"{chip_rate/bound*100:.0f}% of the binding bound; "
+        f"{chip_rate*flops_per_sample/1e12:.2f} T f32-op/s on the VPU, "
+        f"{gbs:.1f} GB/s on HBM")
 
 
 def roofline_report(plan, chip_rate: float) -> None:
