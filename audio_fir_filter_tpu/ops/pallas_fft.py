@@ -763,8 +763,15 @@ def pallas_segment_filter(x: jnp.ndarray, num_taps: int, b: int, H2,
     # (experiments/dma_bw_micro.py mode=none), which at group=1 was ~65%
     # of the f32 step time. Pad the per-channel pair count up to a group
     # multiple (padded pairs read zero-padded signal and their output is
-    # sliced away; <= group-1 extra pairs per channel).
-    group = max(1, min(_PAIR_GROUP, nb // 2))
+    # sliced away; <= group-1 extra pairs per channel). The group is also
+    # capped so the double-buffered window + writeback staging fits a
+    # 60 MiB VMEM budget (B=2^19 at group 8 needs ~126 MiB > the chip;
+    # zA/zB + constant tables take up to ~30 MiB alongside the 100 MiB
+    # scoped limit).
+    hr0 = hp // c
+    per_pair_staging = ((r + hr0) + 2 * hr0) * c * 4 * 2
+    group = max(1, min(_PAIR_GROUP, nb // 2,
+                       (60 << 20) // per_pair_staging))
     nkp = -(-(nb // 2) // group) * group
     nb = 2 * nkp
     # Left pad mo2 + delta: block j's first written position (M' of the
