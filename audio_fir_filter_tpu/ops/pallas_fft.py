@@ -764,14 +764,20 @@ def pallas_segment_filter(x: jnp.ndarray, num_taps: int, b: int, H2,
     # of the f32 step time. Pad the per-channel pair count up to a group
     # multiple (padded pairs read zero-padded signal and their output is
     # sliced away; <= group-1 extra pairs per channel). The group is also
-    # capped so the double-buffered window + writeback staging fits a
-    # 60 MiB VMEM budget (B=2^19 at group 8 needs ~126 MiB > the chip;
-    # zA/zB + constant tables take up to ~30 MiB alongside the 100 MiB
-    # scoped limit).
+    # capped so everything fits the 100 MiB scoped-VMEM limit: staging is
+    # ((win + 2hr) * c * 4) per pair across both macro slots, and the
+    # non-staging residents are zA/zB (2 * nplanes * B * 4) plus the T/H
+    # constant tables which Pallas keeps DOUBLE-buffered (~4 * tplanes
+    # * B * 4; measured 67 MiB total non-staging at B=2^19 df40 — the
+    # round-5 cfg2 OOM) plus ~10 MiB of twiddle columns and slack.
     hr0 = hp // c
+    nplanes0 = 4 if karith.name != "f32" else 2
+    tplanes = {"f32": 2, "df40": 3}.get(karith.name, 4)
     per_pair_staging = ((r + hr0) + 2 * hr0) * c * 4 * 2
+    fixed_est = (2 * nplanes0 + 4 * tplanes) * b * 4 + (10 << 20)
+    budget = int(0.92 * _VMEM_LIMIT) - fixed_est
     group = max(1, min(_PAIR_GROUP, nb // 2,
-                       (60 << 20) // per_pair_staging))
+                       budget // per_pair_staging))
     nkp = -(-(nb // 2) // group) * group
     nb = 2 * nkp
     # Left pad mo2 + delta: block j's first written position (M' of the
