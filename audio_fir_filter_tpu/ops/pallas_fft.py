@@ -635,7 +635,7 @@ def _call_fused(cc, r: int, c: int, karith, interpret, *, grid, x_in,
     )(x_in, *cleaves)
 
 
-def _segment_framing(m: int, b: int) -> tuple[int, int, int]:
+def _segment_framing(m: int, b: int, quantum: int = 8) -> tuple[int, int, int]:
     """The fused segment path's framing for an M-point kernel at block
     size b: ``(mr, delta, hp)`` where mr = alias-skip rows (ceil(M/c)),
     delta = mr*c - M extra discarded positions, hp = the hop (largest
@@ -653,9 +653,9 @@ def _segment_framing(m: int, b: int) -> tuple[int, int, int]:
     # production shapes (hp already rounds down to 8c multiples); at most
     # one 8c chunk otherwise.
     mr = -(-m // c)                    # alias-skip rows (ceil)
-    mr = -(-mr // 8) * 8
+    mr = -(-mr // quantum) * quantum
     delta = mr * c - m
-    hp = ((b - mr * c) // (8 * c)) * (8 * c)
+    hp = ((b - mr * c) // (quantum * c)) * (quantum * c)
     return mr, delta, hp
 
 
@@ -679,7 +679,38 @@ def segment_path_qualifies(num_taps: int, b: int,
     return interpret or (c >= 128 and r >= 8)
 
 
-def _segment_write_out(mr: int, hr: int):
+def segment16_qualifies(num_taps: int, b: int,
+                        interpret: bool | None = None) -> bool:
+    """Whether the 16-bit-native I/O mode of the fused segment path
+    applies: same conditions as :func:`segment_path_qualifies` but with
+    the int16 sublane-tile quantum (16 rows) in the framing."""
+    if interpret is None:
+        interpret = _use_interpret()
+    r, c = fc.fourstep_split(b)
+    m = num_taps - 1
+    if m % 2:
+        return False
+    if _segment_framing(m, b, 16)[2] <= 0:
+        return False
+    return interpret or (c >= 128 and r >= 8)
+
+
+def _segment_read_x(r: int, hr: int, i16_io: bool = False):
+    """The segment path's input-tile reader: the two real [r, lt] blocks
+    of the pair, from the prologue-DMA'd window slot. 16-bit-native mode
+    dequantizes on read (pcm / 2^15 — int16 PCM is exact in f32)."""
+    if i16_io:
+        def rd(src, sl):
+            sc = jnp.float32(1.0 / 32768.0)
+            a = src[0][src[1], src[2], pl.ds(0, r), sl]
+            b_ = src[0][src[1], src[2], pl.ds(hr, r), sl]
+            return (a.astype(jnp.float32) * sc, b_.astype(jnp.float32) * sc)
+        return rd
+    return lambda src, sl: (src[0][src[1], src[2], pl.ds(0, r), sl],
+                            src[0][src[1], src[2], pl.ds(hr, r), sl])
+
+
+def _segment_write_out(mr: int, hr: int, i16_io: bool = False):
     """The segment path's writeback: valid rows [mr, mr+hr) of the re/im
     tiles land at rows [0, hr) / [hr, 2hr) of this step's slot of the
     double-buffered output staging scratch ``yS`` (the manual out-DMA in
@@ -698,6 +729,19 @@ def _segment_write_out(mr: int, hr: int):
             ms, g = octx
             yS[ms, g, 0:hr, sl] = re[:hr, :]
             yS[ms, g, hr:2 * hr, sl] = im[:hr, :]
+    elif i16_io:
+        # 16-bit-native output: quantize with the CODEC's exact rule
+        # (audio/codec.encode: clip(rint(x * 2^15), -2^15, 2^15-1));
+        # saturated samples signal the caller's clip fallback.
+        def w(o_ref, sl, re, im, octx, xs, sems, yS, osem):
+            ms, g = octx
+
+            def q(t):
+                return jnp.clip(jnp.rint(t * jnp.float32(32768.0)),
+                                -32768.0, 32767.0).astype(jnp.int16)
+
+            yS[ms, g, 0:hr, sl] = q(re[mr:mr + hr, :])
+            yS[ms, g, hr:2 * hr, sl] = q(im[mr:mr + hr, :])
     else:
         def w(o_ref, sl, re, im, octx, xs, sems, yS, osem):
             ms, g = octx
@@ -707,7 +751,8 @@ def _segment_write_out(mr: int, hr: int):
 
 
 def pallas_segment_filter(x: jnp.ndarray, num_taps: int, b: int, H2,
-                          arith=ARITH_DF64, interpret: bool | None = None):
+                          arith=ARITH_DF64, interpret: bool | None = None,
+                          i16_io: bool = False):
     """Whole-segment fused path: overlap-save filtering of [C, N] in ONE
     pallas_call, no materialized block matrix.
 
@@ -738,8 +783,19 @@ def pallas_segment_filter(x: jnp.ndarray, num_taps: int, b: int, H2,
     """
     if interpret is None:
         interpret = _use_interpret()
-    if not segment_path_qualifies(num_taps, b, interpret):
+    qualifies = (segment16_qualifies if i16_io else segment_path_qualifies)
+    if not qualifies(num_taps, b, interpret):
         return None
+    # 16-bit-native I/O (round 5): on a DMA-bound part the f32 path moves
+    # 8.7 B/sample; int16 PCM in HBM both ways (convert on read, quantize
+    # with the codec rule on write) cuts the binding direction to ~2.3 B,
+    # raising the memory bound ~2x. int16 sublane tiles are 16 rows, so
+    # the framing uses a 16-row quantum (identical hop at the production
+    # shapes). Output saturation (|pcm| == 32767/-32768) is the caller's
+    # signal to redo in f32 for the reference's normalize-on-clip rule.
+    io_dtype = jnp.int16 if i16_io else jnp.float32
+    io_bytes = 2 if i16_io else 4
+    quantum = 16 if i16_io else 8
     ch_n, n = x.shape
     r, c = fc.fourstep_split(b)
     karith = _kernel_arith(arith)
@@ -754,7 +810,7 @@ def pallas_segment_filter(x: jnp.ndarray, num_taps: int, b: int, H2,
     # every 44.1 kHz config (M = 17,640, never divisible by c) onto the
     # generic block path and its extra gather/unfold HBM passes — the
     # round-3 cfg1/cfg3 2-4x shortfall.
-    mr, delta, hp = _segment_framing(m, b)
+    mr, delta, hp = _segment_framing(m, b, quantum)
     hr = hp // c                       # valid rows per block
     nb = -(-n // hp)
     nb += nb & 1                       # two real blocks per complex FFT
@@ -773,7 +829,7 @@ def pallas_segment_filter(x: jnp.ndarray, num_taps: int, b: int, H2,
     hr0 = hp // c
     nplanes0 = 4 if karith.name != "f32" else 2
     tplanes = {"f32": 2, "df40": 3}.get(karith.name, 4)
-    per_pair_staging = ((r + hr0) + 2 * hr0) * c * 4 * 2
+    per_pair_staging = ((r + hr0) + 2 * hr0) * c * io_bytes * 2
     fixed_est = (2 * nplanes0 + 4 * tplanes) * b * 4 + (10 << 20)
     budget = int(0.92 * _VMEM_LIMIT) - fixed_est
     group = max(1, min(_PAIR_GROUP, nb // 2,
@@ -783,7 +839,7 @@ def pallas_segment_filter(x: jnp.ndarray, num_taps: int, b: int, H2,
     # Left pad mo2 + delta: block j's first written position (M' of the
     # circular conv) then lands exactly on out[j*hp], keeping the written
     # hops a contiguous tiling of the output from 0.
-    xp = jnp.pad(x, ((0, 0),
+    xp = jnp.pad(jnp.asarray(x, io_dtype), ((0, 0),
                      (mo2 + delta, nb * hp + (b - hp) - mo2 - delta - n)))
     rows_total = (nb * hp + (b - hp)) // c
     xp3 = xp.reshape(ch_n, rows_total, c)
@@ -806,8 +862,8 @@ def pallas_segment_filter(x: jnp.ndarray, num_taps: int, b: int, H2,
     # the group's pairs then compute with no blocking waits between
     # them, staging outputs and issuing their copies as they finish.
     def row_chunks(rows: int) -> list[tuple[int, int]]:
-        k = max(1, min(_DMA_SPLIT, rows // 8))
-        per = -(-rows // (8 * k)) * 8
+        k = max(1, min(_DMA_SPLIT, rows // quantum))
+        per = -(-rows // (quantum * k)) * quantum
         out = []
         off = 0
         while off < rows:
@@ -831,7 +887,7 @@ def pallas_segment_filter(x: jnp.ndarray, num_taps: int, b: int, H2,
         for t in range(group):
             tq = base + t
             ch2 = tq // nkp
-            row = pl.multiple_of((tq % nkp) * (2 * hr), 8)
+            row = pl.multiple_of((tq % nkp) * (2 * hr), quantum)
             for j, (off, ln) in enumerate(in_chunks):
                 pltpu.make_async_copy(
                     x_ref.at[ch2, pl.ds(row + off, ln), :],
@@ -910,14 +966,13 @@ def pallas_segment_filter(x: jnp.ndarray, num_taps: int, b: int, H2,
         in_spec=pl.BlockSpec(memory_space=pltpu.ANY),
         out_spec=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((ch_n, nb // 2, 2 * hr, c),
-                                       jnp.float32),
-        read_x=lambda src, sl: (src[0][src[1], src[2], pl.ds(0, r), sl],
-                                src[0][src[1], src[2], pl.ds(hr, r), sl]),
-        write_out=_segment_write_out(mr, hr),
+                                       io_dtype),
+        read_x=_segment_read_x(r, hr, i16_io),
+        write_out=_segment_write_out(mr, hr, i16_io),
         extra_scratch=(
-            pltpu.VMEM((2, group, win, c), jnp.float32),
+            pltpu.VMEM((2, group, win, c), io_dtype),
             pltpu.SemaphoreType.DMA((2, group, n_in)),
-            pltpu.VMEM((2, group, 2 * hr, c), jnp.float32),
+            pltpu.VMEM((2, group, 2 * hr, c), io_dtype),
             pltpu.SemaphoreType.DMA((2, group, n_out)),
         ),
         prologue=prologue,

@@ -104,6 +104,50 @@ def measure_chip_rate(freq: float, slope: float, fs: float, channels: int,
             "realtime_x": chip_rate / (fs * channels)}
 
 
+def measure_fast16(segment_blocks: int, reps: int) -> dict:
+    """Device-resident rate of the 16-bit-native I/O mode: int16 PCM in
+    HBM both ways (the fast path is DMA-bound on this part, so halving
+    I/O bytes raises the memory bound ~2x; +30% measured in round 5 —
+    experiments/fast16_bench.py, oracle-gated at the 0.5-LSB@16-bit
+    quantization floor on compiled hardware)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_fir_filter_tpu.ops import kernel_design as kd
+    from audio_fir_filter_tpu.ops import pallas_fft as pf
+    from audio_fir_filter_tpu.ops.fft_core import ARITH_F32
+
+    fs, channels = 96000.0, 2
+    ws = kd.WindowedSinc(15.0 / fs, 10.0 / fs).make_low_cut()
+    b = 1 << 18
+    if not pf.segment16_qualifies(ws.num_taps, b):
+        return {"skipped": "shape does not qualify"}
+    _, _, hp = pf._segment_framing(ws.m, b, 16)
+    h = np.zeros(b)
+    h[:ws.num_taps] = ws.taps[::-1]
+    H2 = pf.wrap_spectrum(pf.kernel_spectrum_np(h, b, ARITH_F32),
+                          ARITH_F32)
+    seg = segment_blocks * hp
+    xd = jax.jit(lambda: (9830.0 * jnp.sin(
+        0.37 * jnp.arange(channels * seg, dtype=jnp.float32))
+    ).astype(jnp.int16).reshape(channels, seg))()
+    np.asarray(xd[0, :8])
+    fn = jax.jit(lambda t: pf.pallas_segment_filter(
+        t, ws.num_taps, b, H2, arith=ARITH_F32, i16_io=True))
+    y = fn(xd)
+    np.asarray(y[0, :8])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        y = fn(xd)
+    np.asarray(y[0, :8])
+    dt = time.perf_counter() - t0
+    rate = reps * channels * seg / dt
+    log(f"device-resident: {reps} segments in {dt:.3f}s -> "
+        f"{rate/1e6:.1f} Msamples/s ({rate/(fs*channels):.0f}x realtime)")
+    return {"samples_per_sec": round(rate, 1),
+            "realtime_x": round(rate / (fs * channels), 1)}
+
+
 def _pallas_roofline(plan, chip_rate: float) -> None:
     """Plan-aware cost model of the fused Pallas engine (ops/pallas_fft.py).
 
@@ -554,6 +598,10 @@ def main() -> int:
                                   max(4, args.reps // 2), args.engine)
             extra[name] = {"samples_per_sec": round(r["rate"], 1),
                            "realtime_x": round(r["realtime_x"], 1)}
+        log("--- fast16: 16-bit-native I/O fused path (headline shape)")
+        r16 = measure_fast16(min(args.segment_blocks, 504),
+                             max(4, args.reps // 2))
+        extra["fast16 16-bit-native I/O (headline shape)"] = r16
         log(json.dumps(extra, indent=2))
 
     baseline = 100.0 * fs * args.channels  # 100x realtime, in samples/s

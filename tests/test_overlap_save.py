@@ -79,6 +79,53 @@ def test_scaled_lsb_metric_never_weaker_below_full_scale():
         oracle.max_lsb_error(a, b, bits=24))
 
 
+def test_pallas_segment_16bit_native_io():
+    """The 16-bit-native I/O mode (pallas_segment_filter(i16_io=True)):
+    int16 PCM in, int16 PCM out with the codec's quantization rule —
+    the DMA-bound-fast-path mode from round 5 (+30% measured on
+    hardware, experiments/fast16_r05.txt). Gates: <= 1 LSB @ 16-bit vs
+    the float64 oracle on the dequantized input, and saturation on a
+    clipping signal (the caller's redo-in-f32 trigger)."""
+    import jax.numpy as jnp
+
+    from audio_fir_filter_tpu.ops import fft_core as fc
+    from audio_fir_filter_tpu.ops import kernel_design as kd
+    from audio_fir_filter_tpu.ops import oracle
+    from audio_fir_filter_tpu.ops import pallas_fft as pf
+
+    taps = kd.highpass_taps(0.05, 128)
+    b = 1024
+    assert pf.segment16_qualifies(len(taps), b, True)
+    h = np.zeros(b)
+    h[:len(taps)] = taps[::-1]
+    H2 = pf.wrap_spectrum(pf.kernel_spectrum_np(h, b, fc.ARITH_F32),
+                          fc.ARITH_F32)
+    rng = np.random.default_rng(29)
+    _, _, hp = pf._segment_framing(len(taps) - 1, b, 16)
+    n = 2 * hp + 123
+    x = rng.uniform(-0.6, 0.6, (2, n)).astype(np.float32)
+    xq = np.clip(np.rint(x * 32768), -32768, 32767).astype(np.int16)
+    y16 = np.asarray(pf.pallas_segment_filter(
+        jnp.asarray(xq), len(taps), b, H2, arith=fc.ARITH_F32,
+        interpret=True, i16_io=True))
+    assert y16.dtype == np.int16 and y16.shape == xq.shape
+    want = np.stack([oracle.direct_filter(
+        xq[i].astype(np.float64) / 32768, taps) for i in range(2)])
+    err = np.abs(y16.astype(np.float64) / 32768 - want).max() * 32768
+    assert err <= 1.0, err
+
+    # Saturating signal: output must CLAMP (not wrap) and hit the rails,
+    # which is the caller's signal to redo in the f32 path.
+    xg = np.clip(np.rint(3.0 * x * 32768), -32768, 32767).astype(np.int16)
+    yg = np.asarray(pf.pallas_segment_filter(
+        jnp.asarray(xg), len(taps), b, H2, arith=fc.ARITH_F32,
+        interpret=True, i16_io=True))
+    wg = np.stack([oracle.direct_filter(
+        xg[i].astype(np.float64) / 32768, taps) for i in range(2)])
+    assert np.abs(wg).max() > 1.0          # the oracle really clips
+    assert yg.max() == 32767 or yg.min() == -32768
+
+
 @pytest.mark.parametrize("n", [100, 823, 824, 825, 5000])
 def test_engine_lengths_and_edges(n):
     """Lengths around block boundaries (hop=824 at B=1024, T=201);
