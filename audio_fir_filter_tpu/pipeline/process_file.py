@@ -31,12 +31,31 @@ from __future__ import annotations
 import sys
 import time
 
+import numpy as np
+
 from .. import audio
 from ..audio.file import _scale_common
 from ..models import make_model
 from ..utils.options import FilterOptions, resolve_precision
 from ..utils.progress import ProgressBar
 from .stream import filter_array_streamed
+
+
+def _use_i16_route(opts, precision: str, plan, data) -> bool:
+    """Route to the 16-bit-native device path when it is EXACT and the
+    reference semantics cannot differ: fast precision, a 16-bit PCM
+    source (its f32 decode is an exact int16 roundtrip), the fused
+    pallas engine, a qualifying shape, and no explicit normalize (-n
+    needs the float output; auto-normalize-on-clip is handled by the
+    saturation fallback)."""
+    from ..audio.format import Encoding
+    from ..ops import pallas_fft as pf
+
+    return (precision == "fast"
+            and not opts.normalize
+            and data.fmt.encoding == Encoding.PCM_16
+            and getattr(plan, "engine", None) == "pallas"
+            and pf.segment16_qualifies(plan.num_taps, plan.block_size))
 
 
 def process_file(input_path, output_path, opts: FilterOptions,
@@ -87,11 +106,36 @@ def process_file(input_path, output_path, opts: FilterOptions,
         t["filter"] = time.perf_counter() - t0
         bar.final()
     else:
-        # Peak comes back from the device, fused into the filter program
-        # per segment — no host re-scan of the output (round-4 change;
-        # the reference's maxMag loop is ProcessFile.cp:92-97).
-        filtered, max_mag = filter_array_streamed(
-            data.samples, plan, progress_cb=bar.update)
+        filtered = max_mag = None
+        if _use_i16_route(opts, precision, plan, data):
+            # 16-bit-native device I/O (round 5): the fast path is
+            # DMA-bound, so int16 PCM stays in HBM both ways (+30%
+            # measured, bench_artifacts/fast16_r05.txt). 16-bit decode is
+            # exact in f32, so this reconstructs the file's exact PCM.
+            from .stream import filter_array_streamed_i16
+
+            x16 = np.asarray(data.samples * np.float32(32768.0),
+                             np.int16)
+            y16, peak16, saturated = filter_array_streamed_i16(
+                x16, plan, progress_cb=bar.update)
+            if saturated:
+                # Output hit the int16 rails: quantization may have
+                # clipped, and the reference auto-normalizes on clip
+                # (ProcessFile.cp:98-101) — redo in f32 (rare).
+                show_status("Clipping detected; refiltering at float "
+                            "precision for normalize.")
+                bar.clear()
+            else:
+                filtered = np.asarray(
+                    y16, np.float32) / np.float32(32768.0)
+                max_mag = peak16 / 32768.0
+        if filtered is None:
+            # Peak comes back from the device, fused into the filter
+            # program per segment — no host re-scan of the output
+            # (round-4 change; the reference's maxMag loop is
+            # ProcessFile.cp:92-97).
+            filtered, max_mag = filter_array_streamed(
+                data.samples, plan, progress_cb=bar.update)
         t["filter"] = time.perf_counter() - t0
         bar.final()
 

@@ -203,3 +203,46 @@ def test_streamed_host_residency_no_full_padded_copy():
     # out (1x) + a few segment-sized staging/result buffers. The old code's
     # full padded copy alone would push this past 2x.
     assert peak_bytes < 1.6 * payload, (peak_bytes, payload)
+
+
+def test_process_file_16bit_native_route(tmp_path):
+    """16-bit PCM in, fast precision, pallas engine: the 16-bit-native
+    device route engages (round 5) and its file matches the f32 route's
+    within 1 LSB @ 16-bit; the normalize and clip cases fall back."""
+    from audio_fir_filter_tpu.pipeline.process_file import _use_i16_route
+    from audio_fir_filter_tpu.ops import overlap_save as osv_mod
+
+    opts16 = FilterOptions(freq=100.0, slope=200.0, precision="fast",
+                           block_size=1024, engine="pallas")
+    p, x = make_input(tmp_path, encoding=Encoding.PCM_16, frames=6000)
+    data = audio.read_audio(p)
+    model_plan = osv_mod.make_plan(
+        kd.highpass_taps(100.0 / FS, kd.kernel_length(200.0 / FS)),
+        precision="fast", block_size=1024, engine="pallas")
+    assert _use_i16_route(opts16, "fast", model_plan, data)
+
+    out16 = tmp_path / "out16.wav"
+    m = process_file(p, out16, opts16, show_progress=False)
+    assert m["precision"] == "fast"
+    outf = tmp_path / "outf.wav"
+    process_file(p, outf, FilterOptions(freq=100.0, slope=200.0,
+                                        precision="fast", block_size=1024,
+                                        engine="fourstep"),
+                 show_progress=False)
+    y16 = audio.read_audio(out16).samples
+    yf = audio.read_audio(outf).samples
+    assert oracle.max_lsb_error(y16, yf, bits=16) <= 1.0
+
+    # -n forces the f32 route (needs float output for the common scale).
+    optsn = FilterOptions(freq=100.0, slope=200.0, precision="fast",
+                          block_size=1024, engine="pallas", normalize=True)
+    assert not _use_i16_route(optsn, "fast", model_plan, data)
+
+    # A clipping signal falls back and auto-normalizes like the reference.
+    pc, _ = make_input(tmp_path, name="clip.wav", encoding=Encoding.PCM_16,
+                       frames=6000, scale=0.999)
+    outc = tmp_path / "outc.wav"
+    mc = process_file(pc, outc, opts16, show_progress=False)
+    yc = audio.read_audio(outc).samples
+    if mc["peak"] > 1.0:   # the filtered signal actually clipped
+        assert np.max(np.abs(yc)) <= 1.0 + 2 ** -15
