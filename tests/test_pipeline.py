@@ -219,7 +219,14 @@ def test_process_file_16bit_native_route(tmp_path):
     model_plan = osv_mod.make_plan(
         kd.highpass_taps(100.0 / FS, kd.kernel_length(200.0 / FS)),
         precision="fast", block_size=1024, engine="pallas")
-    assert _use_i16_route(opts16, "fast", model_plan, data)
+    # On a real TPU this tiny test block (c=32 < Mosaic's 128-lane floor)
+    # correctly DECLINES the fused path and the route falls back to f32;
+    # on the CPU interpreter it engages. Either way the gate must agree
+    # with the engine qualifier.
+    from audio_fir_filter_tpu.ops import pallas_fft as pf
+    expect = pf.segment16_qualifies(model_plan.num_taps,
+                                    model_plan.block_size)
+    assert _use_i16_route(opts16, "fast", model_plan, data) == expect
 
     out16 = tmp_path / "out16.wav"
     m = process_file(p, out16, opts16, show_progress=False)
