@@ -253,3 +253,34 @@ def test_process_file_16bit_native_route(tmp_path):
     yc = audio.read_audio(outc).samples
     if mc["peak"] > 1.0:   # the filtered signal actually clipped
         assert np.max(np.abs(yc)) <= 1.0 + 2 ** -15
+
+
+def test_streamed_i16_multisegment_equals_single_call():
+    """The 16-bit-native stream path's segment chaining (Mo2 halos,
+    per-segment body peaks) must reproduce the single-call result to
+    within 1 LSB: segment framing shifts the signal inside the kernel's
+    left-pad, so f32 rounding can differ by +-1 ulp at knife-edge
+    samples, which int16 quantization surfaces as a 1-count flip (same
+    class of tolerance as the f32 stream test above). Peaks and
+    saturation must agree to the same 1 count; vs the oracle both stay
+    inside the 1-LSB gate."""
+    from audio_fir_filter_tpu.pipeline.stream import filter_array_streamed_i16
+
+    ws = kd.WindowedSinc(0.02, 0.025).make_low_cut()
+    plan = osv.make_plan(ws.taps, precision="fast", block_size=1024,
+                         engine="pallas")
+    rng = np.random.default_rng(31)
+    x = rng.uniform(-0.7, 0.7, (2, 20_000)).astype(np.float32)
+    x16 = np.asarray(x * np.float32(32768.0), np.int16)
+    whole, pw, satw = filter_array_streamed_i16(x16, plan)
+    seg, ps, sats = filter_array_streamed_i16(x16, plan,
+                                              segment_len=plan.hop * 3)
+    d = np.abs(whole.astype(np.int32) - seg.astype(np.int32))
+    assert d.max() <= 1
+    assert abs(pw - ps) <= 1 and satw == sats
+    assert pw == int(np.max(np.abs(whole.astype(np.int32))))
+    want = np.stack([oracle.direct_filter(
+        x16[i].astype(np.float64) / 32768, ws.taps) for i in range(2)])
+    for y in (whole, seg):
+        err = np.abs(y.astype(np.float64) / 32768 - want).max() * 32768
+        assert err <= 1.0, err
